@@ -1,0 +1,46 @@
+"""Golden-value helpers for the test suite.
+
+The reference proves kernel-variant agreement with golden scalars — corner
+count / Σstrength / Σx / Σy tables (unittests/feature_fast.cxx:18-60) and MD5
+of output buffers (tests/tests_common.cxx:98-116). On TPU the analogue is a
+quantized checksum that is stable across compilers/backends at a stated
+tolerance, plus exact integer checksums for integer outputs.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def keypoint_summary(kp) -> dict:
+    """count / Σstrength / Σx / Σy of valid keypoints — the reference's FAST
+    golden tuple (unittests/feature_fast.cxx:31-41)."""
+    v = np.asarray(kp.valid)
+    return {
+        "count": int(v.sum()),
+        "sum_strength": float(np.asarray(kp.strength)[v].sum()),
+        "sum_x": float(np.asarray(kp.x)[v].sum()),
+        "sum_y": float(np.asarray(kp.y)[v].sum()),
+    }
+
+
+def exact_hash(arr) -> str:
+    """MD5 of the raw bytes of an integer array (reference: compv_tests_md5
+    row-wise ignoring stride — we have no strides, so plain bytes)."""
+    a = np.ascontiguousarray(np.asarray(arr))
+    return hashlib.md5(a.tobytes()).hexdigest()
+
+
+def quantized_hash(arr, decimals: int = 3) -> str:
+    """Tolerance-hash for float outputs: round to ``decimals`` then MD5.
+    Stable across backends as long as values agree to 10^-decimals."""
+    a = np.asarray(arr, dtype=np.float64)
+    q = np.round(a, decimals) + 0.0  # +0.0 normalizes -0.0
+    return hashlib.md5(q.tobytes()).hexdigest()
+
+
+def assert_allclose(a, b, rtol=1e-5, atol=1e-5, err_msg=""):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=rtol, atol=atol, err_msg=err_msg)
