@@ -1,0 +1,249 @@
+"""ORB: oriented FAST detector + rotated-BRIEF-256 descriptor, TPU-native.
+
+Reference behavior:
+  * detector (core/features/orb/compv_core_feature_orb_dete.cxx): 8-level
+    bilinear pyramid (sf=0.83), per-level FAST9 (threshold 20, NMS), per-level
+    feature budget = max_features * sf^level / scaleFactorsSum
+    (orb_dete.cxx:301-311), border erase at patch radius, orientation from
+    circular-patch image moments: orient = atan2(m01, m10) in degrees [0,360)
+    (orb_dete.cxx:330-346, CompVPatch::moments0110 base/compv_patch.cxx:58),
+    coords scaled back to level 0.
+  * descriptor (core/features/orb/compv_core_feature_orb_desc.cxx): per-level
+    Gaussian blur (k=5, sigma=2.0, orb_desc.cxx:119-120); per keypoint the
+    256 (A,B) point pairs are rotated by the keypoint orientation, ROUNDED to
+    nearest int and sampled nearest-neighbor from the blurred level image
+    centered at the rounded keypoint (CompVOrbBrief256_31_32f_C,
+    orb_desc.cxx:477-518); bit i = (I[A_i] < I[B_i]).
+
+TPU design: per-level dense FAST (features/fast.py) + top-k; orientation and
+descriptor are batched gathers vmapped over the fixed-capacity keypoint set
+(invalid slots clamp to pixel 0 and are masked). The BRIEF pattern is
+generated deterministically (Gaussian sigma = patch/5 clipped to the radius-14
+disc, the original BRIEF "GII" scheme) — NOT copied from the reference's
+hardcoded table; rotation preserves the norm so all rotated samples stay
+inside the patch radius and border-erased keypoints can never sample
+out-of-bounds.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compv_tpu.core.types import Keypoints
+from compv_tpu.features.fast import FastConfig, fast_nms, fast_strengths
+from compv_tpu.image.pyramid import pyramid_sizes, scale_factors, scale_factors_sum
+from compv_tpu.image.scale import scale as scale_image
+from compv_tpu.ops.conv import gaussian_blur
+from compv_tpu.ops.bitops import pack_bits_to_bytes
+
+__all__ = ["OrbConfig", "brief_pattern", "patch_orientation", "brief_describe",
+           "orb_detect_describe", "OrbResult"]
+
+PATCH_DIAMETER = 31   # COMPV_FEATURE_DETE_ORB_PATCH_DIAMETER (orb_dete.cxx:41)
+PATCH_RADIUS = PATCH_DIAMETER // 2
+DESC_BITS = 256       # COMPV_FEATURE_DETE_ORB_PATCH_BITS (orb_dete.cxx:42)
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    max_features: int = 2000      # COMPV_FEATURE_DETE_ORB_FAST_MAX_FEATURES
+    threshold: int = 20
+    fast_n: int = 9
+    nms: bool = True
+    levels: int = 8               # COMPV_FEATURE_DETE_ORB_PYRAMID_LEVELS
+    scale_factor: float = 0.83    # COMPV_FEATURE_DETE_ORB_PYRAMID_SF
+    blur_size: int = 5            # COMPV_FEATURE_DESC_ORB_GAUSS_KERN_SIZE
+    blur_sigma: float = 2.0       # COMPV_FEATURE_DESC_ORB_GAUSS_KERN_SIGMA
+
+
+def brief_pattern(bits: int = DESC_BITS, patch: int = PATCH_DIAMETER,
+                  seed: int = 0xC0F
+                  ) -> np.ndarray:
+    """Deterministic BRIEF test-pair pattern, (bits, 4) int32 [ax, ay, bx, by].
+
+    Original-BRIEF GII sampling: A,B ~ iid N(0, (patch/5)^2), rejection-
+    sampled into the disc of radius patch/2 - 1.5 so rotated samples stay in
+    the patch. Fixed seed -> identical pattern everywhere forever."""
+    rs = np.random.default_rng(seed)
+    sigma = patch / 5.0
+    rmax = patch / 2.0 - 1.5
+    out = np.zeros((bits, 4), np.int32)
+    for i in range(bits):
+        pts = []
+        while len(pts) < 2:
+            p = rs.normal(0.0, sigma, 2)
+            if p[0] ** 2 + p[1] ** 2 <= rmax ** 2:
+                pts.append(np.round(p).astype(np.int32))
+        out[i] = [pts[0][0], pts[0][1], pts[1][0], pts[1][1]]
+    return out
+
+
+_PATTERN = jnp.asarray(brief_pattern())  # (256, 4) i32
+
+
+def _disc_mask_and_grids(radius: int):
+    d = 2 * radius + 1
+    ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    mask = (xs * xs + ys * ys) <= radius * radius
+    return (jnp.asarray(mask, jnp.float32), jnp.asarray(xs, jnp.float32),
+            jnp.asarray(ys, jnp.float32))
+
+
+_DISC_MASK, _DISC_X, _DISC_Y = _disc_mask_and_grids(PATCH_RADIUS)
+
+
+def patch_orientation(img: jax.Array, x: jax.Array, y: jax.Array,
+                      valid: jax.Array) -> jax.Array:
+    """IC-moment orientation in degrees [0,360) for keypoints at integer-
+    rounded (x, y) on ``img``. Batched over the keypoint axis.
+
+    m10 = sum(x_rel * I), m01 = sum(y_rel * I) over the radius-15 disc;
+    orient = atan2(m01, m10) (orb_dete.cxx:336-344)."""
+    h, w = img.shape
+    f = img.astype(jnp.float32)
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), PATCH_RADIUS,
+                  w - 1 - PATCH_RADIUS)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), PATCH_RADIUS,
+                  h - 1 - PATCH_RADIUS)
+
+    def one(cx, cy):
+        patch = jax.lax.dynamic_slice(
+            f, (cy - PATCH_RADIUS, cx - PATCH_RADIUS),
+            (PATCH_DIAMETER, PATCH_DIAMETER))
+        m10 = jnp.sum(patch * _DISC_MASK * _DISC_X)
+        m01 = jnp.sum(patch * _DISC_MASK * _DISC_Y)
+        return jnp.rad2deg(jnp.arctan2(m01, m10))
+
+    deg = jax.vmap(one)(xi, yi)
+    deg = jnp.where(deg < 0, deg + 360.0, deg)
+    return jnp.where(valid, deg, 0.0)
+
+
+def brief_describe(blurred: jax.Array, x: jax.Array, y: jax.Array,
+                   orientation_deg: jax.Array, valid: jax.Array) -> jax.Array:
+    """Rotated BRIEF-256 on a pre-blurred image. Returns (K, 256) u8 bits.
+
+    Per reference kernel (orb_desc.cxx:477-518): rotate each pattern point by
+    the keypoint angle, round to nearest int, nearest-neighbor sample, bit =
+    (I[A] < I[B])."""
+    h, w = blurred.shape
+    f = blurred.astype(jnp.float32)
+    th = jnp.deg2rad(orientation_deg)
+    cos_t, sin_t = jnp.cos(th), jnp.sin(th)                  # (K,)
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+
+    ax, ay = _PATTERN[:, 0].astype(jnp.float32), _PATTERN[:, 1].astype(jnp.float32)
+    bx, by = _PATTERN[:, 2].astype(jnp.float32), _PATTERN[:, 3].astype(jnp.float32)
+
+    def rot(px, py):
+        # (K, 256) rotated + rounded offsets
+        rx = jnp.round(px[None, :] * cos_t[:, None] - py[None, :] * sin_t[:, None])
+        ry = jnp.round(px[None, :] * sin_t[:, None] + py[None, :] * cos_t[:, None])
+        return rx.astype(jnp.int32), ry.astype(jnp.int32)
+
+    rax, ray = rot(ax, ay)
+    rbx, rby = rot(bx, by)
+    gx_a = jnp.clip(xi[:, None] + rax, 0, w - 1)
+    gy_a = jnp.clip(yi[:, None] + ray, 0, h - 1)
+    gx_b = jnp.clip(xi[:, None] + rbx, 0, w - 1)
+    gy_b = jnp.clip(yi[:, None] + rby, 0, h - 1)
+    a = f[gy_a, gx_a]
+    b = f[gy_b, gx_b]
+    bits = (a < b).astype(jnp.uint8)
+    return jnp.where(valid[:, None], bits, jnp.uint8(0))
+
+
+class OrbResult(NamedTuple):
+    keypoints: Keypoints       # level-0 coords, capacity = max_features
+    descriptors: jax.Array     # (max_features, 256) u8 bits (unpacked)
+
+    def packed(self) -> jax.Array:
+        """(max_features, 32) u8 — the reference's 32-byte descriptor rows."""
+        return pack_bits_to_bytes(self.descriptors)
+
+
+def _level_budgets(cfg: OrbConfig):
+    """Per-level feature budget: max_features * sf^lv / sfs, >= 10
+    (orb_dete.cxx:301-311, COMPV_FEATURE_DETE_ORB_MIN_FEATUES_PER_LEVEL)."""
+    sfs = scale_factors_sum(cfg.levels, cfg.scale_factor)
+    budgets = []
+    for sf in scale_factors(cfg.levels, cfg.scale_factor):
+        budgets.append(max(int(round(cfg.max_features * sf / sfs)), 10))
+    return budgets
+
+
+@partial(jax.jit, static_argnames=("config",))
+def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
+                        ) -> OrbResult:
+    """Full ORB pipeline on a grayscale (H, W) u8 image.
+
+    Per level: scale -> FAST strengths (+NMS) -> border zero -> top-k(budget)
+    -> orientation -> blur -> BRIEF. Level results are concatenated and the
+    global top ``max_features`` by strength are kept. All shapes static."""
+    h, w = img.shape
+    budgets = _level_budgets(config)
+    sizes = pyramid_sizes(h, w, config.levels, config.scale_factor)
+    sfs = scale_factors(config.levels, config.scale_factor)
+
+    parts = []
+    for lv in range(config.levels):
+        lh, lw = sizes[lv]
+        sf = sfs[lv]
+        k = min(budgets[lv], lh * lw)
+        level_img = img if lv == 0 else scale_image(img, lh, lw, "bilinear")
+
+        s = fast_strengths(level_img, config.threshold, config.fast_n)
+        if config.nms:
+            s = fast_nms(s)
+        # zero out the border so top-k never selects points whose patch
+        # crosses the image edge (reference eraseTooCloseToBorder with
+        # patch radius, orb_dete.cxx:318-323)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 1)
+        interior = ((yy >= PATCH_RADIUS) & (yy < lh - PATCH_RADIUS)
+                    & (xx >= PATCH_RADIUS) & (xx < lw - PATCH_RADIUS))
+        s = jnp.where(interior, s, 0)
+
+        vals, idx = jax.lax.top_k(s.astype(jnp.float32).ravel(), k)
+        valid = vals > 0
+        lx = (idx % lw).astype(jnp.float32)
+        ly = (idx // lw).astype(jnp.float32)
+
+        orient = patch_orientation(level_img, lx, ly, valid)
+        blurred = gaussian_blur(level_img, config.blur_size, config.blur_sigma)
+        desc = brief_describe(blurred, lx, ly, orient, valid)
+
+        inv_sf = 1.0 / sf
+        parts.append((
+            Keypoints(
+                x=jnp.where(valid, lx * inv_sf, 0.0),
+                y=jnp.where(valid, ly * inv_sf, 0.0),
+                strength=jnp.where(valid, vals, 0.0),
+                orientation=orient,
+                level=jnp.full((k,), lv, jnp.int32),
+                size=jnp.full((k,), PATCH_DIAMETER * inv_sf, jnp.float32),
+                valid=valid,
+            ),
+            desc,
+        ))
+
+    kp_all = Keypoints(*[jnp.concatenate([getattr(p[0], fld) for p in parts])
+                         for fld in Keypoints._fields])
+    desc_all = jnp.concatenate([p[1] for p in parts], axis=0)
+
+    # global top max_features by strength (reference retains per-level
+    # budgets which already sum to ~max_features; we clamp exactly)
+    kcap = min(config.max_features, int(kp_all.x.shape[0]))
+    svals = jnp.where(kp_all.valid, kp_all.strength, -jnp.inf)
+    _, sel = jax.lax.top_k(svals, kcap)
+    take = lambda a: jnp.take(a, sel, axis=0)
+    kp = Keypoints(take(kp_all.x), take(kp_all.y), take(kp_all.strength),
+                   take(kp_all.orientation), take(kp_all.level),
+                   take(kp_all.size), take(kp_all.valid))
+    return OrbResult(keypoints=kp, descriptors=take(desc_all))
