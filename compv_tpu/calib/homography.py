@@ -1,0 +1,154 @@
+"""Homography estimation: normalized DLT + batched-hypothesis RANSAC.
+
+Reference: CompVHomography<T>::find (core/calib/compv_core_calib_homography.cxx:60)
+— per-thread RANSAC chains over 4-point samples with colinearity rejection,
+inlier count via symmetric transfer error (:498, threshold 30 px^2 units,
+:27-28), adaptive iteration budget from the inlier ratio with p=0.995 (:203),
+then a final DLT re-solve on all inliers; computeH (:346) = Hartley
+normalization -> 2Nx9 DLT matrix (buildHomographyEqMatrix,
+base/math/compv_math_matrix.cxx:1051) -> MtM -> Jacobi eigen smallest
+eigenvector -> denormalize -> h22-normalize.
+
+TPU redesign (SURVEY.md §2.6 item 5): instead of thread-racing sequential
+chains, ALL hypotheses are evaluated at once — sample (S, 4) point subsets
+with jax.random, vmap the 4-point DLT over hypotheses, score all S x N
+transfer errors as one batched einsum, argmax inliers. The adaptive-budget
+while_loop is unnecessary at S≈512 hypotheses (p=0.995 needs ~72 iters at
+50% inliers); a fixed S both saturates the VPU/MXU and keeps shapes static.
+eigh replaces the Jacobi port (jnp.linalg.eigh is XLA-native).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from compv_tpu.math.stats import hartley_normalize
+from compv_tpu.math.transform import apply_homography
+
+__all__ = ["HomographyConfig", "HomographyResult", "compute_homography_dlt",
+           "find_homography", "symmetric_transfer_error"]
+
+
+@dataclass(frozen=True)
+class HomographyConfig:
+    """Defaults per the reference (calib_homography.cxx:27-28, :203)."""
+    num_hypotheses: int = 512
+    threshold: float = 30.0       # squared-pixel symmetric transfer threshold
+    seed: int = 0
+    refine: bool = True           # final DLT on all inliers
+
+
+class HomographyResult(NamedTuple):
+    h: jax.Array           # (3, 3) f32, h22-normalized
+    inliers: jax.Array     # (N,) bool
+    num_inliers: jax.Array  # () i32
+
+
+def _dlt_rows(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Build the 2N x 9 DLT system rows for H mapping src->dst
+    (buildHomographyEqMatrix, compv_math_matrix.cxx:1051-1061)."""
+    x, y = src[:, 0], src[:, 1]
+    u, v = dst[:, 0], dst[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], axis=1)
+    r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], axis=1)
+    return jnp.concatenate([r1, r2], axis=0)  # (2N, 9)
+
+
+def compute_homography_dlt(src: jax.Array, dst: jax.Array,
+                           mask: jax.Array | None = None) -> jax.Array:
+    """Normalized DLT: returns (3,3) H with H[2,2]=1 mapping src->dst.
+    ``mask`` selects the points participating (padded sets supported);
+    masked-out rows are zeroed in the normal equations."""
+    n = src.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    src_n, t_src = hartley_normalize(src, mask)
+    dst_n, t_dst = hartley_normalize(dst, mask)
+    a = _dlt_rows(src_n, dst_n)                       # (2N, 9)
+    m2 = jnp.concatenate([mask, mask]).astype(a.dtype)[:, None]
+    a = a * m2
+    ata = a.T @ a                                      # (9, 9)
+    _, vecs = jnp.linalg.eigh(ata)                     # ascending eigenvalues
+    hvec = vecs[:, 0]                                  # smallest
+    hn = hvec.reshape(3, 3)
+    h = jnp.linalg.inv(t_dst) @ hn @ t_src             # denormalize
+    h22 = h[2, 2]
+    h22 = jnp.where(jnp.abs(h22) < 1e-12, 1e-12, h22)
+    return h / h22
+
+
+def symmetric_transfer_error(h: jax.Array, src: jax.Array, dst: jax.Array
+                             ) -> jax.Array:
+    """Per-point d(H src, dst)^2 + d(H^-1 dst, src)^2 (countInliers,
+    calib_homography.cxx:498)."""
+    fwd = apply_homography(h, src)
+    hinv = jnp.linalg.inv(h + 1e-12 * jnp.eye(3, dtype=h.dtype))
+    bwd = apply_homography(hinv, dst)
+    e_f = jnp.sum((fwd - dst) ** 2, axis=1)
+    e_b = jnp.sum((bwd - src) ** 2, axis=1)
+    return e_f + e_b
+
+
+def _masked_sample_idx(key: jax.Array, mask: jax.Array, s: int, k: int
+                       ) -> jax.Array:
+    """(s, k) random indices drawn from valid positions of ``mask``.
+    Builds a compacted valid-index table then uniform-samples it."""
+    n = mask.shape[0]
+    order = jnp.argsort(~mask)                 # valid indices first
+    n_valid = jnp.sum(mask).astype(jnp.int32)
+    r = jax.random.randint(key, (s, k), 0, jnp.maximum(n_valid, 1))
+    return order[r]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def find_homography(src: jax.Array, dst: jax.Array,
+                    mask: jax.Array | None = None,
+                    config: HomographyConfig = HomographyConfig()
+                    ) -> HomographyResult:
+    """RANSAC homography over padded point sets (N, 2) + validity mask.
+
+    All hypotheses evaluated in parallel; winner = most inliers with total
+    residual as tie-break (reference uses variance tie-break,
+    calib_homography.cxx:130-158)."""
+    n = src.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+
+    key = jax.random.PRNGKey(config.seed)
+    idx = _masked_sample_idx(key, mask, config.num_hypotheses, 4)  # (S, 4)
+
+    def solve_one(sample_idx):
+        s4 = src[sample_idx]
+        d4 = dst[sample_idx]
+        return compute_homography_dlt(s4, d4)
+
+    hs = jax.vmap(solve_one)(idx)                                  # (S, 3, 3)
+    errs = jax.vmap(lambda h: symmetric_transfer_error(h, src, dst))(hs)
+    errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)            # (S, N)
+    inl = (errs < config.threshold) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    # tie-break: lower summed inlier error
+    score = counts.astype(jnp.float32) - 1e-9 * jnp.sum(
+        jnp.where(inl, errs, 0.0), axis=1)
+    best = jnp.argmax(score)
+    best_h = hs[best]
+    best_inl = inl[best]
+
+    if config.refine:
+        h_ref = compute_homography_dlt(src, dst, best_inl)
+        e_ref = symmetric_transfer_error(h_ref, src, dst)
+        inl_ref = (e_ref < config.threshold) & mask
+        better = jnp.sum(inl_ref) >= jnp.sum(best_inl)
+        best_h = jnp.where(better, h_ref, best_h)
+        best_inl = jnp.where(better, inl_ref, best_inl)
+
+    return HomographyResult(h=best_h, inliers=best_inl,
+                            num_inliers=jnp.sum(best_inl).astype(jnp.int32))

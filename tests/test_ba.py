@@ -1,0 +1,148 @@
+"""Bundle adjustment tests: synthetic scene, noisy init, BA must reduce
+reprojection error; distributed step must match single-shard step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compv_tpu.slam.ba import (
+    BAConfig, BAProblem, ba_residuals, ba_solve, ba_step,
+    matrix_to_rodrigues, reproj_rmse, rodrigues_to_matrix,
+)
+
+
+def make_scene(rs, n_cams=4, n_lms=40, noise=0.0, obs_per_lm=None):
+    """Cameras looking at a landmark cloud around the origin."""
+    lms = rs.uniform(-1, 1, (n_lms, 3)) + np.array([0, 0, 5.0])
+    cams = []
+    for i in range(n_cams):
+        rvec = rs.normal(0, 0.05, 3)
+        tvec = np.array([0.4 * i - 0.6, 0.0, 0.0]) + rs.normal(0, 0.05, 3)
+        cams.append(np.concatenate([rvec, tvec]))
+    cams = np.stack(cams)
+    intr = np.array([500.0, 500.0, 320.0, 240.0])
+
+    cam_idx, lm_idx, uvs = [], [], []
+    for c in range(n_cams):
+        r = cv_rodrigues(cams[c, :3])
+        for l in range(n_lms):
+            pc = r @ lms[l] + cams[c, 3:]
+            u = intr[0] * pc[0] / pc[2] + intr[2]
+            v = intr[1] * pc[1] / pc[2] + intr[3]
+            cam_idx.append(c)
+            lm_idx.append(l)
+            uvs.append([u, v])
+    uv = np.array(uvs) + rs.normal(0, noise, (len(uvs), 2))
+    return (cams, lms, intr, np.array(cam_idx, np.int32),
+            np.array(lm_idx, np.int32), uv)
+
+
+def cv_rodrigues(rvec):
+    theta = np.linalg.norm(rvec)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = rvec / theta
+    km = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * km + (1 - np.cos(theta)) * (km @ km)
+
+
+class TestRotations:
+    def test_roundtrip(self):
+        rs = np.random.default_rng(0)
+        for _ in range(10):
+            rvec = rs.normal(0, 1, 3).astype(np.float32)
+            r = rodrigues_to_matrix(jnp.asarray(rvec))
+            back = np.asarray(matrix_to_rodrigues(r))
+            np.testing.assert_allclose(back, rvec, atol=1e-4)
+
+    def test_matches_numpy(self):
+        rs = np.random.default_rng(1)
+        rvec = rs.normal(0, 0.8, 3)
+        got = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec, jnp.float32)))
+        np.testing.assert_allclose(got, cv_rodrigues(rvec), atol=1e-5)
+
+    def test_zero_safe(self):
+        r = np.asarray(rodrigues_to_matrix(jnp.zeros(3, jnp.float32)))
+        np.testing.assert_allclose(r, np.eye(3), atol=1e-6)
+        g = jax.grad(lambda v: rodrigues_to_matrix(v).sum())(jnp.zeros(3, jnp.float32))
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestBA:
+    def test_zero_residual_at_truth(self):
+        rs = np.random.default_rng(2)
+        cams, lms, intr, ci, li, uv = make_scene(rs)
+        prob = BAProblem(jnp.asarray(cams, jnp.float32), jnp.asarray(lms, jnp.float32),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci),
+                         jnp.asarray(li), jnp.asarray(uv, jnp.float32),
+                         jnp.ones(len(ci), bool))
+        assert float(reproj_rmse(prob)) < 1e-2
+
+    def test_ba_reduces_error(self):
+        rs = np.random.default_rng(3)
+        cams, lms, intr, ci, li, uv = make_scene(rs, noise=0.0)
+        cams_n = cams + rs.normal(0, 0.01, cams.shape)
+        cams_n[0] = cams[0]  # gauge camera stays at truth
+        lms_n = lms + rs.normal(0, 0.02, lms.shape)
+        prob = BAProblem(jnp.asarray(cams_n, jnp.float32),
+                         jnp.asarray(lms_n, jnp.float32),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci),
+                         jnp.asarray(li), jnp.asarray(uv, jnp.float32),
+                         jnp.ones(len(ci), bool))
+        rmse0 = float(reproj_rmse(prob))
+        solved, _ = ba_solve(prob, BAConfig(iterations=15, cg_iterations=30))
+        rmse1 = float(reproj_rmse(solved))
+        assert rmse0 > 1.0
+        assert rmse1 < 0.15 * rmse0
+
+    def test_padded_observations_ignored(self):
+        rs = np.random.default_rng(4)
+        cams, lms, intr, ci, li, uv = make_scene(rs)
+        pad = 50
+        ci_p = np.concatenate([ci, np.zeros(pad, np.int32)])
+        li_p = np.concatenate([li, np.zeros(pad, np.int32)])
+        uv_p = np.concatenate([uv, np.full((pad, 2), 1e6)])
+        valid = np.concatenate([np.ones(len(ci), bool), np.zeros(pad, bool)])
+        prob = BAProblem(jnp.asarray(cams, jnp.float32), jnp.asarray(lms, jnp.float32),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci_p),
+                         jnp.asarray(li_p), jnp.asarray(uv_p, jnp.float32),
+                         jnp.asarray(valid))
+        assert float(reproj_rmse(prob)) < 1e-2
+
+
+class TestDistributedBA:
+    def test_matches_single_shard(self):
+        """One distributed GN step == one local GN step (same psum'd math)."""
+        from compv_tpu.parallel.mesh import make_mesh
+        from compv_tpu.parallel.sharded import make_distributed_ba_step
+
+        rs = np.random.default_rng(5)
+        cams, lms, intr, ci, li, uv = make_scene(rs, n_cams=4, n_lms=16)
+        cams_n = (cams + rs.normal(0, 0.01, cams.shape)).astype(np.float32)
+        cams_n[0] = cams[0]
+        lms_n = (lms + rs.normal(0, 0.02, lms.shape)).astype(np.float32)
+        # pad obs count to a multiple of 8 devices
+        n_obs = len(ci)
+        n_pad = (-n_obs) % 8
+        ci_p = np.concatenate([ci, np.zeros(n_pad, np.int32)])
+        li_p = np.concatenate([li, np.zeros(n_pad, np.int32)])
+        uv_p = np.concatenate([uv, np.zeros((n_pad, 2))]).astype(np.float32)
+        valid = np.concatenate([np.ones(n_obs, bool), np.zeros(n_pad, bool)])
+
+        prob = BAProblem(jnp.asarray(cams_n), jnp.asarray(lms_n),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci_p),
+                         jnp.asarray(li_p), jnp.asarray(uv_p),
+                         jnp.asarray(valid))
+        cfg = BAConfig(cg_iterations=10)
+        lam = jnp.float32(1e-3)
+
+        local_prob, local_lam, local_cost = ba_step(prob, lam, cfg)
+
+        mesh = make_mesh(8)
+        step = make_distributed_ba_step(mesh, cfg)
+        dist_prob, dist_lam, dist_cost = step(prob, lam)
+
+        np.testing.assert_allclose(float(dist_cost), float(local_cost), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dist_prob.cameras),
+                                   np.asarray(local_prob.cameras),
+                                   rtol=2e-3, atol=2e-4)
