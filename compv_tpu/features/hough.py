@@ -1,0 +1,195 @@
+"""Hough line transforms: SHT (standard) and KHT-style kernel voting.
+
+Reference:
+  * SHT: core/features/hough/compv_core_feature_houghsht.cxx:96 — rho/theta
+    accumulator built per-thread then merged (:350), 4-neighbor NMS (:483),
+    sort by strength, toCartesian.
+  * KHT: core/features/hough/compv_core_feature_houghkht.cxx:208 — edge
+    chains -> clusters -> per-cluster elliptical-Gaussian kernel votes.
+
+TPU redesign: the accumulator is ONE scatter-add over (edge pixels x angles)
+— the per-thread clone+merge disappears (XLA serializes the scatter
+deterministically). Edge pixels live in a fixed-capacity padded list. The
+KHT variant keeps the *voting model* (votes weighted by local line support)
+but replaces sequential cluster linking with per-pixel orientation-coherence
+weights — a dense reformulation (SURVEY.md §7 'hard parts').
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compv_tpu.core.types import Lines
+
+__all__ = ["HoughShtConfig", "hough_sht", "hough_lines_to_cartesian",
+           "HoughKhtConfig", "hough_kht"]
+
+
+@dataclass(frozen=True)
+class HoughShtConfig:
+    rho: float = 1.0            # rho resolution (COMPV_HOUGH_SET_FLT32_RHO)
+    theta_step_deg: float = 1.0  # theta resolution
+    threshold: int = 100         # min votes (COMPV_HOUGH_SET_INT_THRESHOLD)
+    max_lines: int = 64          # fixed output capacity
+    max_edge_points: int = 16384  # fixed edge-list capacity
+
+
+def _edge_list(edges: jax.Array, capacity: int):
+    """Top-`capacity` edge pixels (all nonzero if they fit). Returns
+    (x, y, valid)."""
+    h, w = edges.shape
+    flat = edges.astype(jnp.float32).ravel()
+    k = min(capacity, h * w)
+    vals, idx = jax.lax.top_k(flat, k)
+    valid = vals > 0
+    return (idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32), valid
+
+
+def _accumulate(x, y, valid, weights, n_theta: int, rho_max: float,
+                rho_step: float, theta_step: float):
+    """(A, R) accumulator: for every edge point and every theta bin, vote
+    round((x cos + y sin + rho_max)/step). One scatter-add."""
+    thetas = jnp.arange(n_theta, dtype=jnp.float32) * theta_step
+    cos_t = jnp.cos(thetas)
+    sin_t = jnp.sin(thetas)
+    rho = x[:, None] * cos_t[None, :] + y[:, None] * sin_t[None, :]  # (E, A)
+    n_rho = int(np.ceil(2 * rho_max / rho_step)) + 1
+    rbin = jnp.round((rho + rho_max) / rho_step).astype(jnp.int32)
+    rbin = jnp.clip(rbin, 0, n_rho - 1)
+    tbin = jnp.broadcast_to(jnp.arange(n_theta, dtype=jnp.int32)[None, :],
+                            rbin.shape)
+    w = jnp.broadcast_to(weights[:, None] * valid[:, None], rbin.shape)
+    acc = jnp.zeros((n_theta, n_rho), jnp.float32)
+    acc = acc.at[tbin.ravel(), rbin.ravel()].add(w.ravel().astype(jnp.float32))
+    return acc, n_rho
+
+
+def _acc_nms_topk(acc: jax.Array, threshold: float, max_lines: int,
+                  rho_max: float, rho_step: float, theta_step: float) -> Lines:
+    """4-neighbor NMS on the accumulator (houghsht.cxx:483) then top-K."""
+    n_theta, n_rho = acc.shape
+    p = jnp.pad(acc, 1)
+
+    def sl(dy, dx):
+        return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (n_theta, n_rho))
+
+    is_max = ((acc > sl(0, -1)) & (acc >= sl(0, 1))
+              & (acc > sl(-1, 0)) & (acc >= sl(1, 0)))
+    kept = jnp.where(is_max & (acc >= threshold), acc, 0.0)
+    vals, idx = jax.lax.top_k(kept.ravel(), max_lines)
+    valid = vals > 0
+    tbin = (idx // n_rho).astype(jnp.float32)
+    rbin = (idx % n_rho).astype(jnp.float32)
+    return Lines(
+        rho=jnp.where(valid, rbin * rho_step - rho_max, 0.0),
+        theta=jnp.where(valid, tbin * theta_step, 0.0),
+        strength=jnp.where(valid, vals, 0.0),
+        valid=valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "shape"))
+def _hough_sht_impl(edges, config: HoughShtConfig, shape):
+    h, w = shape
+    theta_step = float(np.deg2rad(config.theta_step_deg))
+    n_theta = int(np.round(np.pi / theta_step))
+    rho_max = float(np.hypot(h, w))
+    x, y, valid = _edge_list(edges, config.max_edge_points)
+    weights = jnp.ones_like(x)
+    acc, _ = _accumulate(x, y, valid, weights, n_theta, rho_max,
+                         config.rho, theta_step)
+    return _acc_nms_topk(acc, config.threshold, config.max_lines,
+                         rho_max, config.rho, theta_step)
+
+
+def hough_sht(edges: jax.Array, config: HoughShtConfig = HoughShtConfig()
+              ) -> Lines:
+    """Standard Hough transform on a binary edge map (u8, nonzero=edge)."""
+    return _hough_sht_impl(edges, config, edges.shape)
+
+
+def hough_lines_to_cartesian(lines: Lines, width: int, height: int):
+    """Polar (rho, theta) -> segment endpoints clipped to a long span, like
+    the reference's toCartesian (houghsht.cxx). Returns (L, 4) [x0,y0,x1,y1]."""
+    c = jnp.cos(lines.theta)
+    s = jnp.sin(lines.theta)
+    x0 = c * lines.rho
+    y0 = s * lines.rho
+    span = float(np.hypot(width, height))
+    return jnp.stack([x0 - span * s, y0 + span * c,
+                      x0 + span * s, y0 - span * c], axis=1)
+
+
+# ---------------------------------------------------------------- KHT-style
+
+@dataclass(frozen=True)
+class HoughKhtConfig:
+    rho: float = 1.0
+    theta_step_deg: float = 0.5
+    threshold_ratio: float = 0.02   # of total vote mass (KHT uses relative GS)
+    max_lines: int = 64
+    max_edge_points: int = 16384
+
+
+@partial(jax.jit, static_argnames=("config", "shape"))
+def _hough_kht_impl(edges, gx, gy, config: HoughKhtConfig, shape):
+    """Orientation-weighted voting: each edge pixel votes only near its own
+    gradient-normal angle (+-1 bin), weighted by gradient coherence — the
+    dense analogue of KHT's cluster-kernel voting (houghkht.cxx:208). This
+    concentrates votes like KHT (few, sharp peaks) without sequential chain
+    linking."""
+    h, w = shape
+    theta_step = float(np.deg2rad(config.theta_step_deg))
+    n_theta = int(np.round(np.pi / theta_step))
+    rho_max = float(np.hypot(h, w))
+    n_rho = int(np.ceil(2 * rho_max / config.rho)) + 1
+
+    x, y, valid = _edge_list(edges, config.max_edge_points)
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    # orientation tensor (structure tensor) is sign-invariant — the right
+    # way to average gradient directions across an edge
+    p_gx = jnp.pad(gx, 1)
+    p_gy = jnp.pad(gy, 1)
+    jxx = jnp.zeros_like(gx)
+    jxy = jnp.zeros_like(gx)
+    jyy = jnp.zeros_like(gx)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            gxs = jax.lax.dynamic_slice(p_gx, (1 + dy, 1 + dx), (h, w))
+            gys = jax.lax.dynamic_slice(p_gy, (1 + dy, 1 + dx), (h, w))
+            jxx = jxx + gxs * gxs
+            jxy = jxy + gxs * gys
+            jyy = jyy + gys * gys
+    # dominant orientation of the structure tensor: angle of the major
+    # eigenvector = 0.5 * atan2(2 Jxy, Jxx - Jyy)
+    ang_map = 0.5 * jnp.arctan2(2.0 * jxy, jxx - jyy)
+    ang = ang_map[yi, xi]
+    ang = jnp.where(ang < 0, ang + jnp.pi, ang)
+    tcenter = jnp.round(ang / theta_step).astype(jnp.int32)
+
+    acc = jnp.zeros((n_theta, n_rho), jnp.float32)
+    for dt in (-1, 0, 1):
+        tb = (tcenter + dt) % n_theta
+        th = tb.astype(jnp.float32) * theta_step
+        rho = x * jnp.cos(th) + y * jnp.sin(th)
+        rb = jnp.clip(jnp.round((rho + rho_max) / config.rho).astype(jnp.int32),
+                      0, n_rho - 1)
+        wgt = jnp.where(valid, jnp.where(dt == 0, 1.0, 0.5), 0.0)
+        acc = acc.at[tb, rb].add(wgt)
+
+    total = jnp.maximum(jnp.sum(acc), 1.0)
+    thr = total * config.threshold_ratio
+    return _acc_nms_topk(acc, thr, config.max_lines, rho_max, config.rho,
+                         theta_step)
+
+
+def hough_kht(edges: jax.Array, gx: jax.Array, gy: jax.Array,
+              config: HoughKhtConfig = HoughKhtConfig()) -> Lines:
+    """KHT-style orientation-weighted Hough. Needs the gradients used to
+    build ``edges`` (e.g. from features.edges.sobel_gradients)."""
+    return _hough_kht_impl(edges, gx, gy, config, edges.shape)

@@ -1,0 +1,140 @@
+"""Sobel / Canny / Hough tests."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compv_tpu.features.canny import CannyConfig, canny
+from compv_tpu.features.edges import edge_detect, sobel_gradients
+from compv_tpu.features.hough import (
+    HoughKhtConfig, HoughShtConfig, hough_kht, hough_sht,
+)
+
+
+@pytest.fixture(scope="module")
+def step_img():
+    """Vertical step edge at x=32."""
+    img = np.zeros((64, 64), np.uint8)
+    img[:, 32:] = 200
+    return img
+
+
+@pytest.fixture(scope="module")
+def lines_img():
+    """Two straight lines: horizontal y=20, vertical x=40."""
+    img = np.zeros((80, 100), np.uint8)
+    img[20, 5:95] = 255
+    img[5:75, 40] = 255
+    return img
+
+
+class TestSobel:
+    def test_step_response(self, step_img):
+        gx, gy = sobel_gradients(jnp.asarray(step_img))
+        gx = np.asarray(gx)
+        gy = np.asarray(gy)
+        # gx peaks at the step, gy ~ 0 in the interior
+        assert abs(gx[32, 31]) + abs(gx[32, 32]) > 100
+        assert np.abs(gy[5:-5, 5:-5]).max() < 1e-3
+
+    def test_scalar_parity(self):
+        """3x3 Sobel vs explicit scipy correlation."""
+        from scipy import ndimage
+        rs = np.random.default_rng(0)
+        img = rs.integers(0, 255, (32, 32), dtype=np.uint8)
+        gx, _ = sobel_gradients(jnp.asarray(img))
+        kx = np.outer([1, 2, 1], [-1, 0, 1]).astype(np.float32)
+        want = ndimage.correlate(img.astype(np.float32), kx, mode="constant")
+        np.testing.assert_allclose(np.asarray(gx)[1:-1, 1:-1],
+                                   want[1:-1, 1:-1], atol=1e-3)
+
+    def test_edge_detect_u8(self, step_img):
+        out = np.asarray(edge_detect(jnp.asarray(step_img)))
+        assert out.dtype == np.uint8
+        assert out[:, 30:34].max() > 20
+
+
+class TestCanny:
+    def test_step_edge_single_pixel_wide(self, step_img):
+        out = np.asarray(canny(jnp.asarray(step_img),
+                               CannyConfig(threshold_low=30, threshold_high=80)))
+        mid = out[32]
+        cols = np.nonzero(mid)[0]
+        assert len(cols) >= 1
+        assert np.all(np.abs(cols - 31.5) <= 1.5)  # thin, localized
+        # exactly one edge column per row in the interior (thinness)
+        interior = out[5:-5]
+        per_row = (interior > 0).sum(axis=1)
+        assert per_row.max() <= 2
+
+    def test_hysteresis_connects(self):
+        """A line whose middle is weak (between tLow and tHigh) must survive
+        if its ends are strong."""
+        img = np.zeros((40, 120), np.float32)
+        # ramp amplitude: strong at ends, weak (but > tLow) in the middle
+        amp = np.concatenate([np.full(40, 200.0), np.full(40, 90.0),
+                              np.full(40, 200.0)])
+        img[20, :] = amp
+        out_hyst = np.asarray(canny(jnp.asarray(img.astype(np.uint8)),
+                                    CannyConfig(threshold_low=100,
+                                                threshold_high=300)))
+        # the weak middle (sobel response ~ 4*90=360... choose thresholds so
+        # middle is weak-only): low=100 strong=650
+        out2 = np.asarray(canny(jnp.asarray(img.astype(np.uint8)),
+                                CannyConfig(threshold_low=100,
+                                            threshold_high=650)))
+        row = out2[19:22, 45:75]
+        assert row.max() > 0  # weak middle kept through connectivity
+
+    def test_no_edges_flat(self):
+        img = np.full((32, 32), 77, np.uint8)
+        out = np.asarray(canny(jnp.asarray(img)))
+        assert out.sum() == 0
+
+    def test_mean_threshold_mode(self, step_img):
+        out = np.asarray(canny(jnp.asarray(step_img),
+                               CannyConfig(threshold_low=66,
+                                           threshold_high=133,
+                                           threshold_type="mean")))
+        assert out.sum() > 0
+
+
+class TestHough:
+    def test_sht_finds_lines(self, lines_img):
+        lines = hough_sht(jnp.asarray(lines_img),
+                          HoughShtConfig(threshold=40, max_lines=8))
+        v = np.asarray(lines.valid)
+        assert v.sum() >= 2
+        thetas = np.asarray(lines.theta)[v]
+        rhos = np.asarray(lines.rho)[v]
+        # horizontal line y=20: theta ~ pi/2, rho ~ 20
+        has_horiz = np.any((np.abs(thetas - np.pi / 2) < 0.05)
+                           & (np.abs(rhos - 20) < 2))
+        # vertical line x=40: theta ~ 0, rho ~ 40
+        has_vert = np.any((np.abs(thetas) < 0.05) & (np.abs(rhos - 40) < 2))
+        assert has_horiz and has_vert
+
+    def test_sht_strength_counts_votes(self, lines_img):
+        lines = hough_sht(jnp.asarray(lines_img),
+                          HoughShtConfig(threshold=40, max_lines=8))
+        v = np.asarray(lines.valid)
+        s = np.asarray(lines.strength)[v]
+        assert s.max() >= 60  # the 90-px horizontal line
+
+    def test_kht_finds_lines(self, lines_img):
+        from compv_tpu.features.edges import sobel_gradients
+        gx, gy = sobel_gradients(jnp.asarray(lines_img))
+        lines = hough_kht(jnp.asarray(lines_img), gx, gy,
+                          HoughKhtConfig(max_lines=8, threshold_ratio=0.05))
+        v = np.asarray(lines.valid)
+        assert v.sum() >= 2
+        thetas = np.asarray(lines.theta)[v]
+        rhos = np.asarray(lines.rho)[v]
+        has_horiz = np.any((np.abs(thetas - np.pi / 2) < 0.1)
+                           & (np.abs(rhos - 20) < 3))
+        has_vert = np.any(((np.abs(thetas) < 0.1) | (np.abs(thetas - np.pi) < 0.1))
+                          & (np.abs(np.abs(rhos) - 40) < 3))
+        assert has_horiz and has_vert
+
+    def test_empty_edges(self):
+        lines = hough_sht(jnp.zeros((32, 32), jnp.uint8))
+        assert int(lines.count()) == 0
