@@ -33,7 +33,9 @@ __all__ = ["HoughShtConfig", "hough_sht", "hough_lines_to_cartesian",
 class HoughShtConfig:
     rho: float = 1.0            # rho resolution (COMPV_HOUGH_SET_FLT32_RHO)
     theta_step_deg: float = 1.0  # theta resolution
-    threshold: int = 100         # min votes (COMPV_HOUGH_SET_INT_THRESHOLD)
+    threshold: float = 100       # min votes (COMPV_HOUGH_SET_INT_THRESHOLD);
+                                 # values < 1.0 mean a fraction of the peak
+                                 # accumulator value (scale-invariant mode)
     max_lines: int = 64          # fixed output capacity
     max_edge_points: int = 16384  # fixed edge-list capacity
 
@@ -102,7 +104,9 @@ def _hough_sht_impl(edges, config: HoughShtConfig, shape):
     weights = jnp.ones_like(x)
     acc, _ = _accumulate(x, y, valid, weights, n_theta, rho_max,
                          config.rho, theta_step)
-    return _acc_nms_topk(acc, config.threshold, config.max_lines,
+    thr = (jnp.asarray(config.threshold, jnp.float32) if config.threshold >= 1.0
+           else config.threshold * jnp.max(acc))
+    return _acc_nms_topk(acc, thr, config.max_lines,
                          rho_max, config.rho, theta_step)
 
 
