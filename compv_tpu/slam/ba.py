@@ -39,31 +39,56 @@ __all__ = ["BAProblem", "BAConfig", "rodrigues_to_matrix", "matrix_to_rodrigues"
 def rodrigues_to_matrix(rvec: jax.Array) -> jax.Array:
     """Axis-angle (3,) -> rotation matrix (3,3). Reference:
     CompVMathTrig::rodriguesVectorToMatrix (compv_math_trig.h:22-35).
-    Taylor-safe near theta=0 (needed: jax.grad through it)."""
+
+    Gradient-safe at theta=0 via the double-where pattern: both branch
+    inputs are made finite BEFORE the select, so reverse-mode AD never sees
+    an inf/NaN from the untaken branch (the classic jnp.where-grad trap)."""
     theta2 = jnp.sum(rvec * rvec)
-    theta = jnp.sqrt(theta2 + 1e-24)
-    k = rvec / theta
-    kx, ky, kz = k[0], k[1], k[2]
-    km = jnp.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]],
+    small = theta2 < 1e-12
+    theta2_safe = jnp.where(small, 1.0, theta2)   # safe for sqrt/grad
+    theta = jnp.sqrt(theta2_safe)
+    # sin(t)/t and (1-cos t)/t^2 with series fallbacks
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
+    wx, wy, wz = rvec[0], rvec[1], rvec[2]
+    km = jnp.array([[0.0, -wz, wy], [wz, 0.0, -wx], [-wy, wx, 0.0]],
                    rvec.dtype)
-    s = jnp.sin(theta)
-    c = jnp.cos(theta)
-    r = jnp.eye(3, dtype=rvec.dtype) + s * km + (1.0 - c) * (km @ km)
-    # near zero: R ~ I + [w]_x (first order) — switch to avoid 0/0
-    r0 = jnp.eye(3, dtype=rvec.dtype) + km * theta
-    return jnp.where(theta2 < 1e-16, r0, r)
+    return jnp.eye(3, dtype=rvec.dtype) + a * km + b * (km @ km)
 
 
 def matrix_to_rodrigues(r: jax.Array) -> jax.Array:
-    """Rotation matrix -> axis-angle (reference rodriguesMatrixToVector)."""
+    """Rotation matrix -> axis-angle (reference rodriguesMatrixToVector).
+
+    Three branches, all select-safe: small angle (series), general
+    (w * theta / 2 sin theta), and near-pi — where w = vee(R - R^T) ~ 0 and
+    the general formula degenerates to 0 * inf; there the axis is recovered
+    from the diagonal of (R + I)/2 with signs from the dominant row."""
     tr = jnp.trace(r)
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7))
     w = jnp.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]],
                   r.dtype)
-    s = jnp.sin(theta)
-    scale = jnp.where(jnp.abs(s) < 1e-7, 0.5, theta / (2.0 * jnp.maximum(s, 1e-12)))
-    return w * scale
+    small = theta < 1e-4
+    near_pi = cos_t < -0.999
+    theta_safe = jnp.where(small | near_pi, 1.0, theta)
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0,
+                      theta_safe / (2.0 * jnp.sin(theta_safe)))
+    rvec_general = w * scale
+
+    # near-pi: axis magnitudes from diag((R+I)/2), signs from dominant row
+    b = (r + jnp.eye(3, dtype=r.dtype)) * 0.5
+    axis = jnp.sqrt(jnp.clip(jnp.diagonal(b), 0.0, 1.0))
+    k = jnp.argmax(axis)
+    row = b[k, :]
+    signs = jnp.where(jnp.arange(3) == k, 1.0,
+                      jnp.where(row >= 0, 1.0, -1.0))
+    axis_n = axis * signs
+    axis_n = axis_n / jnp.maximum(jnp.linalg.norm(axis_n), 1e-12)
+    theta_pi = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))  # exact up to pi
+    rvec_pi = axis_n * theta_pi
+
+    return jnp.where(near_pi, rvec_pi, rvec_general)
 
 
 # ----------------------------------------------------------------- projection
