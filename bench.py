@@ -2,12 +2,18 @@
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric: FAST9+NMS corner detection throughput at 1282x720 (the
-reference's flagship kernel benchmark: 3358 ms / 10k frames ≈ 2977 fps on an
-i7-4790K with AVX2 + 8 threads, speed_compare:73-80). vs_baseline is our
-fps / 2977.
+reference's flagship kernel benchmark: 3358 ms / 10k frames ~= 2977 fps on
+an i7-4790K with AVX2 + 8 threads, speed_compare:73-80). vs_baseline is
+our fps / 2977.
 
-Runs on whatever backend jax selects (the real TPU chip under the driver;
-set BENCH_CPU=1 to smoke-test on CPU with fewer reps).
+Methodology: the device is behind a high-latency tunnel and
+block_until_ready is not a reliable completion barrier through it, so the
+benchmark loops ON DEVICE — a fori_loop with a data dependency between
+iterations (image perturbed by the previous result) runs the full detector
+R times inside one XLA program, and the per-frame time is the slope
+(T(R2) - T(R1)) / (R2 - R1), which cancels the tunnel round trip, dispatch
+and compile overheads exactly. A checksum is read back so nothing can be
+dead-code eliminated.
 """
 from __future__ import annotations
 
@@ -20,22 +26,18 @@ import numpy as np
 
 def main():
     if os.environ.get("BENCH_CPU") == "1":
-        os.environ.setdefault("XLA_FLAGS",
-                              "--xla_force_host_platform_device_count=1")
         import jax
         jax.config.update("jax_platforms", "cpu")
-        reps = 30
+        r1, r2 = 2, 6
     else:
         import jax
-        reps = 200
+        r1, r2 = 10, 60
 
     import jax.numpy as jnp
-    from compv_tpu.features.fast import FastConfig, fast_detect
+    from compv_tpu.features.fast import fast_nms, fast_strengths
 
     h, w = 720, 1282
     rs = np.random.default_rng(0)
-    # structured image: gradients + checkerboard + noise, similar corner
-    # density to the reference's equirectangular test scene
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img = 96 + 48 * np.sin(xx / 17.0) + 40 * np.cos(yy / 23.0)
     ch = ((xx // 24).astype(int) + (yy // 24).astype(int)) % 2
@@ -44,20 +46,43 @@ def main():
     img = np.clip(img + rs.normal(0, 2.0, img.shape), 0, 255).astype(np.uint8)
     x = jnp.asarray(img)
 
-    cfg = FastConfig(threshold=20, n=9, nms=True, max_features=2000)
-    import functools
-    fn = jax.jit(functools.partial(fast_detect, config=cfg))
+    max_features = 2000
 
-    # warmup / compile
-    out = fn(x)
-    jax.block_until_ready(out)
+    def detect_sum(im):
+        s = fast_nms(fast_strengths(im, 20, 9))
+        vals, idx = jax.lax.top_k(s.astype(jnp.float32).ravel(), max_features)
+        return jnp.sum(vals), jnp.sum(idx)
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = reps / dt
+    @jax.jit
+    def bench(im, reps):
+        def body(i, carry):
+            acc, cur = carry
+            sv, si = detect_sum(cur)
+            # data dependency: perturb one pixel by a value derived from the
+            # result so iterations can neither be CSE'd nor reordered
+            delta = (si % 2).astype(jnp.uint8)
+            cur = cur.at[0, 0].set(cur[0, 0] + delta)
+            return acc + sv, cur
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0.0), im))
+        return acc
+
+    # compile once (reps is a traced argument)
+    _ = float(bench(x, jnp.int32(1)))
+
+    def timed(r):
+        t0 = time.perf_counter()
+        v = float(bench(x, jnp.int32(r)))
+        return time.perf_counter() - t0, v
+
+    # slope timing, best of 3
+    best = float("inf")
+    for _ in range(3):
+        t_a, _ = timed(r1)
+        t_b, _ = timed(r2)
+        per_frame = (t_b - t_a) / (r2 - r1)
+        if 0 < per_frame < best:
+            best = per_frame
+    fps = 1.0 / best
 
     baseline_fps = 2977.0  # speed_compare:73-80
     print(json.dumps({
