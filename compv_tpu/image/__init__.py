@@ -5,7 +5,8 @@ from compv_tpu.image.color import (  # noqa: F401
     rgb_to_gray, bgr_to_gray, rgba_to_gray, to_gray, rgb_to_yuv444,
     yuv_to_rgb, i420_to_rgb, nv12_to_rgb, nv21_to_rgb, yuyv_to_rgb,
     uyvy_to_rgb, i422_to_rgb, rgb_to_i420, rgb_to_hsv, yuv444_to_hsv,
-    split_channels, merge_channels,
+    split_channels, merge_channels, rgb_to_hsl, rgb565_to_rgb,
+    rgb_to_rgb565,
 )
 from compv_tpu.image.scale import (  # noqa: F401
     scale, scale_bilinear, scale_bicubic, scale_nearest, rotate_bilinear,
@@ -15,6 +16,7 @@ from compv_tpu.image.pyramid import (  # noqa: F401
 )
 from compv_tpu.image.threshold import (  # noqa: F401
     threshold_global, threshold_otsu, threshold_adaptive, otsu_value,
+    threshold_wolf,
 )
 from compv_tpu.image.integral import integral, integral_squared, box_sum  # noqa: F401
 from compv_tpu.image.remap import (  # noqa: F401

@@ -29,7 +29,8 @@ __all__ = [
     "rgb_to_yuv444", "yuv_to_rgb", "i420_to_rgb", "nv12_to_rgb",
     "nv21_to_rgb", "yuyv_to_rgb", "uyvy_to_rgb", "i422_to_rgb",
     "rgb_to_i420", "rgb_to_hsv", "yuv444_to_hsv",
-    "split_channels", "merge_channels", "to_gray",
+    "split_channels", "merge_channels", "to_gray", "rgb_to_hsl",
+    "rgb565_to_rgb", "rgb_to_rgb565",
 ]
 
 
@@ -193,6 +194,57 @@ def yuv444_to_hsv(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """Fused YUV->RGB->HSV (the reference ships a dedicated fused kernel;
     XLA fuses this chain automatically)."""
     return rgb_to_hsv(yuv_to_rgb(y, u, v))
+
+
+def rgb_to_hsl(rgb: jax.Array) -> jax.Array:
+    """(H,W,3) u8 RGB -> (H,W,3) u8 HSL, H in [0,180), S,L in [0,255]
+    (reference supports HSL formats, compv_common.h:347-381)."""
+    f = rgb.astype(jnp.float32) / 255.0
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = mx - mn
+    l = (mx + mn) * 0.5
+    s = jnp.where(c == 0, 0.0,
+                  c / jnp.maximum(1.0 - jnp.abs(2.0 * l - 1.0), 1e-9))
+    safe_c = jnp.maximum(c, 1e-9)
+    h = jnp.where(
+        mx == r, 30.0 * (g - b) / safe_c,
+        jnp.where(mx == g, 60.0 + 30.0 * (b - r) / safe_c,
+                  120.0 + 30.0 * (r - g) / safe_c))
+    h = jnp.where(c == 0, 0.0, jnp.where(h < 0, h + 180.0, h))
+    return jnp.stack([
+        jnp.clip(jnp.round(h), 0, 255).astype(jnp.uint8),
+        jnp.clip(jnp.round(s * 255.0), 0, 255).astype(jnp.uint8),
+        jnp.clip(jnp.round(l * 255.0), 0, 255).astype(jnp.uint8),
+    ], axis=-1)
+
+
+def rgb565_to_rgb(packed: jax.Array, little_endian: bool = True) -> jax.Array:
+    """(H,W) u16 (or (H, W*2) u8 byte pairs) RGB565 -> (H,W,3) u8
+    (reference rgb565le/be family kernels)."""
+    if packed.dtype == jnp.uint8:
+        lo = packed[..., 0::2].astype(jnp.uint16)
+        hi = packed[..., 1::2].astype(jnp.uint16)
+        v = (hi << 8) | lo if little_endian else (lo << 8) | hi
+    else:
+        v = packed.astype(jnp.uint16)
+    r5 = (v >> 11) & 0x1F
+    g6 = (v >> 5) & 0x3F
+    b5 = v & 0x1F
+    # expand with bit replication (standard 565 -> 888)
+    r = ((r5 << 3) | (r5 >> 2)).astype(jnp.uint8)
+    g = ((g6 << 2) | (g6 >> 4)).astype(jnp.uint8)
+    b = ((b5 << 3) | (b5 >> 2)).astype(jnp.uint8)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def rgb_to_rgb565(rgb: jax.Array) -> jax.Array:
+    """(H,W,3) u8 -> (H,W) u16 RGB565."""
+    r = (rgb[..., 0].astype(jnp.uint16) >> 3) << 11
+    g = (rgb[..., 1].astype(jnp.uint16) >> 2) << 5
+    b = rgb[..., 2].astype(jnp.uint16) >> 3
+    return r | g | b
 
 
 # ---------------------------------------------------------------- split/merge

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 from compv_tpu.image.histogram import histogram256
 from compv_tpu.ops.conv import convolve_separable
 
-__all__ = ["threshold_global", "otsu_value", "threshold_otsu", "threshold_adaptive"]
+__all__ = ["threshold_global", "otsu_value", "threshold_otsu",
+           "threshold_adaptive", "threshold_wolf"]
 
 
 def threshold_global(img: jax.Array, thresh, maxval: int = 255,
@@ -58,3 +59,20 @@ def threshold_adaptive(img: jax.Array, block_size: int = 5, delta: float = 8.0,
     if inverse:
         m = ~m
     return jnp.where(m, jnp.uint8(maxval), jnp.uint8(0))
+
+
+def threshold_wolf(img: jax.Array, block_size: int = 41, k: float = 0.5,
+                   maxval: int = 255) -> jax.Array:
+    """Wolf-Jolion local binarization (reference benchmark
+    speed_compare:66-70): T = (1-k)*m + k*M + k*(s/R)*(m - M) with local
+    mean m, local stddev s, global min M, R = max local stddev. Local
+    moments via separable box filters — two fused conv passes."""
+    f = img.astype(jnp.float32)
+    kern = jnp.full((block_size,), 1.0 / block_size, jnp.float32)
+    mean = convolve_separable(f, kern, kern, border="replicate")
+    mean2 = convolve_separable(f * f, kern, kern, border="replicate")
+    std = jnp.sqrt(jnp.maximum(mean2 - mean * mean, 0.0))
+    m_glob = jnp.min(f)
+    r = jnp.maximum(jnp.max(std), 1e-9)
+    t = (1.0 - k) * mean + k * m_glob + k * (std / r) * (mean - m_glob)
+    return jnp.where(f > t, jnp.uint8(maxval), jnp.uint8(0))

@@ -1,0 +1,59 @@
+"""Multi-device matrix tests: sharded pipelines must equal local compute
+(the {1-vs-N devices} axis of the determinism matrix, SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compv_tpu.parallel.mesh import make_mesh
+from compv_tpu.parallel.sharded import sharded_all_pairs_match, sharded_detect
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rs = np.random.default_rng(0)
+    from scipy import ndimage
+    out = []
+    for i in range(16):
+        img = ndimage.gaussian_filter(
+            rs.uniform(0, 255, (64, 96)).astype(np.float32), 1.2)
+        img = ((img - img.min()) / (np.ptp(img) + 1e-9) * 255).astype(np.uint8)
+        out.append(img)
+    return np.stack(out)
+
+
+class TestShardedDetect:
+    def test_matches_local(self, frames):
+        mesh = make_mesh(8)
+        x, y, s, valid, desc = sharded_detect(jnp.asarray(frames), mesh,
+                                              max_features=64)
+        # local reference: same per-frame function without the mesh
+        from compv_tpu.parallel.sharded import _detect_one
+        lx, ly, ls, lvalid, ldesc = jax.vmap(
+            lambda im: _detect_one(im, 20, 64))(jnp.asarray(frames))
+        np.testing.assert_array_equal(np.asarray(valid), np.asarray(lvalid))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(lx))
+        np.testing.assert_array_equal(np.asarray(desc), np.asarray(ldesc))
+
+    def test_all_pairs_symmetric_diag_zero(self, frames):
+        mesh = make_mesh(8)
+        _, _, _, valid, desc = sharded_detect(jnp.asarray(frames), mesh,
+                                              max_features=64)
+        sim = np.asarray(sharded_all_pairs_match(desc, valid, mesh))
+        assert sim.shape == (16, 16)
+        # self-distance must be 0 (every descriptor matches itself)
+        np.testing.assert_allclose(np.diag(sim), 0.0, atol=1e-5)
+        # similar frames (identical) give symmetric-ish structure
+        assert np.isfinite(sim).all()
+
+
+class TestDistributedHelpers:
+    def test_process_slice_single(self):
+        from compv_tpu.parallel.distributed import process_frame_slice
+        lo, hi = process_frame_slice(10)
+        assert (lo, hi) == (0, 10)
+
+    def test_global_mesh(self):
+        from compv_tpu.parallel.distributed import global_frame_mesh
+        m = global_frame_mesh()
+        assert m.devices.size == len(jax.devices())
