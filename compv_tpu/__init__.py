@@ -25,6 +25,15 @@ from compv_tpu import image  # noqa: F401
 from compv_tpu import features  # noqa: F401
 from compv_tpu import matchers  # noqa: F401
 from compv_tpu import calib  # noqa: F401
+from compv_tpu import math  # noqa: F401
+from compv_tpu import ml  # noqa: F401
+from compv_tpu import io  # noqa: F401
+from compv_tpu import viz  # noqa: F401
+from compv_tpu import slam  # noqa: F401
+from compv_tpu import parallel  # noqa: F401
+from compv_tpu.registry import (  # noqa: F401
+    create_detector, create_matcher, create_edge_detector, list_algorithms,
+)
 
 
 def init(num_threads: int | None = None) -> None:

@@ -94,6 +94,50 @@ def svm_predict(model: SvmModel, x: jax.Array) -> jax.Array:
     return jnp.where(svm_decision(model, x) >= 0, 1.0, -1.0)
 
 
+def svm_cross_validate(x: jax.Array, y: jax.Array, config: SvmConfig,
+                       folds: int = 5, seed: int = 0) -> float:
+    """K-fold CV accuracy (the reference trains with cross-validation,
+    compv_base_ml_svm.h:78-104). Host-side fold loop, jitted training."""
+    import numpy as np
+    x_np = np.asarray(x)
+    y_np = np.asarray(y)
+    rs = np.random.default_rng(seed)
+    order = rs.permutation(len(x_np))
+    fold_sz = len(x_np) // folds
+    accs = []
+    for k in range(folds):
+        val_idx = order[k * fold_sz:(k + 1) * fold_sz]
+        tr_idx = np.setdiff1d(order, val_idx)
+        m = svm_train(jnp.asarray(x_np[tr_idx]), jnp.asarray(y_np[tr_idx]),
+                      config)
+        pred = np.asarray(svm_predict(m, jnp.asarray(x_np[val_idx])))
+        accs.append(float((pred == y_np[val_idx]).mean()))
+    return float(np.mean(accs))
+
+
+class MultiClassSvm(NamedTuple):
+    """One-vs-rest multiclass (libsvm does one-vs-one; OvR is equivalent in
+    capability and batches better on TPU: all decisions in one matmul)."""
+    models: list          # per-class SvmModel
+    classes: jax.Array    # (C,)
+
+
+def svm_train_multiclass(x: jax.Array, y: jax.Array,
+                         config: SvmConfig = SvmConfig()) -> MultiClassSvm:
+    import numpy as np
+    classes = np.unique(np.asarray(y))
+    models = []
+    for c in classes:
+        yb = jnp.where(jnp.asarray(np.asarray(y) == c), 1.0, -1.0)
+        models.append(svm_train(x, yb, config))
+    return MultiClassSvm(models=models, classes=jnp.asarray(classes))
+
+
+def svm_predict_multiclass(mc: MultiClassSvm, x: jax.Array) -> jax.Array:
+    scores = jnp.stack([svm_decision(m, x) for m in mc.models])  # (C, M)
+    return mc.classes[jnp.argmax(scores, axis=0)]
+
+
 def svm_save_json(model: SvmModel, path: str) -> None:
     """Model persistence (reference saves libsvm model files,
     compv_base_ml_svm.h:96)."""

@@ -109,6 +109,26 @@ def make_distributed_ba_step(mesh: Mesh, cfg: BAConfig = BAConfig()):
     return jax.jit(step)
 
 
+def make_distributed_schur_step(mesh: Mesh, cfg=None):
+    """Distributed Schur-complement BA step: per-shard block assembly
+    (Hcc/Hll/W/gradients are sums over local observations), psum'd into the
+    exact dense reduced camera system on every shard (slam/ba_schur.py)."""
+    from compv_tpu.slam.ba_schur import SchurConfig, ba_step_schur
+    cfg = cfg or SchurConfig()
+    param_spec = BAProblem(
+        cameras=P(), landmarks=P(), intrinsics=P(),
+        cam_idx=P("frame"), lm_idx=P("frame"), uv=P("frame"),
+        valid=P("frame"))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(param_spec, P()),
+             out_specs=(param_spec, P(), P()))
+    def step(prob, lam):
+        return ba_step_schur(prob, lam, cfg, psum_axis="frame")
+
+    return jax.jit(step)
+
+
 def distributed_ba_solve(prob: BAProblem, mesh: Mesh,
                          cfg: BAConfig = BAConfig()):
     """Outer Python loop over jitted distributed GN steps (keeps per-step

@@ -14,3 +14,4 @@ from compv_tpu.slam.pipeline import (  # noqa: F401
     KeyframeStore, decompose_homography,
 )
 from compv_tpu.slam.evaluate import umeyama_alignment, ate_rmse, rpe_rmse  # noqa: F401
+from compv_tpu.slam.ba_schur import SchurConfig, ba_solve_schur, ba_step_schur  # noqa: F401

@@ -146,3 +146,74 @@ class TestDistributedBA:
         np.testing.assert_allclose(np.asarray(dist_prob.cameras),
                                    np.asarray(local_prob.cameras),
                                    rtol=2e-3, atol=2e-4)
+
+
+class TestSchurBA:
+    def test_schur_reduces_error(self):
+        from compv_tpu.slam.ba_schur import SchurConfig, ba_solve_schur
+        from compv_tpu.slam.ba import reproj_rmse
+        rs = np.random.default_rng(7)
+        cams, lms, intr, ci, li, uv = make_scene(rs, n_cams=5, n_lms=30)
+        cams_n = cams + rs.normal(0, 0.01, cams.shape)
+        cams_n[0] = cams[0]
+        lms_n = lms + rs.normal(0, 0.02, lms.shape)
+        prob = BAProblem(jnp.asarray(cams_n, jnp.float32),
+                         jnp.asarray(lms_n, jnp.float32),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci),
+                         jnp.asarray(li), jnp.asarray(uv, jnp.float32),
+                         jnp.ones(len(ci), bool))
+        rmse0 = float(reproj_rmse(prob))
+        solved, _ = ba_solve_schur(prob, SchurConfig(iterations=12))
+        rmse1 = float(reproj_rmse(solved))
+        assert rmse0 > 1.0
+        assert rmse1 < 0.05 * rmse0  # Schur converges fast (exact GN step)
+
+    def test_schur_matches_cg_solution_quality(self):
+        from compv_tpu.slam.ba_schur import SchurConfig, ba_solve_schur
+        from compv_tpu.slam.ba import reproj_rmse
+        rs = np.random.default_rng(8)
+        cams, lms, intr, ci, li, uv = make_scene(rs, n_cams=4, n_lms=25)
+        cams_n = cams + rs.normal(0, 0.008, cams.shape)
+        cams_n[0] = cams[0]
+        lms_n = lms + rs.normal(0, 0.015, lms.shape)
+        prob = BAProblem(jnp.asarray(cams_n, jnp.float32),
+                         jnp.asarray(lms_n, jnp.float32),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci),
+                         jnp.asarray(li), jnp.asarray(uv, jnp.float32),
+                         jnp.ones(len(ci), bool))
+        s_prob, s_cost = ba_solve_schur(prob, SchurConfig(iterations=10))
+        c_prob, c_cost = ba_solve(prob, BAConfig(iterations=15, cg_iterations=30))
+        # both must reach near-zero residual on noiseless observations
+        assert float(reproj_rmse(s_prob)) < 0.05
+        assert float(reproj_rmse(c_prob)) < 0.2
+
+    def test_distributed_schur_matches_local(self):
+        from compv_tpu.parallel.mesh import make_mesh
+        from compv_tpu.parallel.sharded import make_distributed_schur_step
+        from compv_tpu.slam.ba_schur import SchurConfig, ba_step_schur
+
+        rs = np.random.default_rng(9)
+        cams, lms, intr, ci, li, uv = make_scene(rs, n_cams=4, n_lms=16)
+        cams_n = (cams + rs.normal(0, 0.01, cams.shape)).astype(np.float32)
+        cams_n[0] = cams[0]
+        lms_n = (lms + rs.normal(0, 0.02, lms.shape)).astype(np.float32)
+        n_obs = len(ci)
+        n_pad = (-n_obs) % 8
+        ci_p = np.concatenate([ci, np.zeros(n_pad, np.int32)])
+        li_p = np.concatenate([li, np.zeros(n_pad, np.int32)])
+        uv_p = np.concatenate([uv, np.zeros((n_pad, 2))]).astype(np.float32)
+        valid = np.concatenate([np.ones(n_obs, bool), np.zeros(n_pad, bool)])
+        prob = BAProblem(jnp.asarray(cams_n), jnp.asarray(lms_n),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci_p),
+                         jnp.asarray(li_p), jnp.asarray(uv_p),
+                         jnp.asarray(valid))
+        cfg = SchurConfig()
+        lam = jnp.float32(1e-3)
+        local_prob, _, local_cost = ba_step_schur(prob, lam, cfg)
+        mesh = make_mesh(8)
+        step = make_distributed_schur_step(mesh, cfg)
+        dist_prob, _, dist_cost = step(prob, lam)
+        np.testing.assert_allclose(float(dist_cost), float(local_cost), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dist_prob.cameras),
+                                   np.asarray(local_prob.cameras),
+                                   rtol=5e-3, atol=5e-4)
