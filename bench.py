@@ -35,6 +35,7 @@ def main():
 
     import jax.numpy as jnp
     from compv_tpu.features.fast import fast_nms, fast_strengths
+    from compv_tpu.ops.topk import select_top_k
 
     h, w = 720, 1282
     rs = np.random.default_rng(0)
@@ -50,7 +51,7 @@ def main():
 
     def detect_sum(im):
         s = fast_nms(fast_strengths(im, 20, 9))
-        vals, idx = jax.lax.top_k(s.astype(jnp.float32).ravel(), max_features)
+        vals, idx = select_top_k(s.astype(jnp.float32).ravel(), max_features)
         return jnp.sum(vals), jnp.sum(idx)
 
     @jax.jit

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from compv_tpu.core.types import Keypoints
+from compv_tpu.ops.topk import select_top_k
 
 __all__ = ["FastConfig", "fast_strengths", "fast_nms", "fast_detect",
            "CIRCLE_OFFSETS"]
@@ -53,47 +54,48 @@ class FastConfig:
     nms: bool = True
     max_features: int = 2000   # static output capacity; -1 in the reference
                                # means "all" — here capacity must be static
-
-
-def _shifted_circle_views(padded: jax.Array, h: int, w: int) -> jax.Array:
-    """(16, h, w) circle-neighbor values via static slices of a 3-padded
-    image; slicing (not gather) keeps this on the fast vector path."""
-    views = [
-        jax.lax.dynamic_slice(padded, (3 + dy, 3 + dx), (h, w))
-        for (dy, dx) in CIRCLE_OFFSETS
-    ]
-    return jnp.stack(views)
+    exact_topk: bool = False   # exact sort-based top-k (slow on TPU) vs
+                               # hardware approx_max_k (exact on CPU)
 
 
 def fast_strengths(img: jax.Array, threshold: int = 20, n: int = 9) -> jax.Array:
     """Dense strengths map (H, W) u8. Zero outside the 3-px border, exactly
-    like the reference's calloc'd map with +3 borders (fast_dete.cxx:200-215)."""
+    like the reference's calloc'd map with +3 borders (fast_dete.cxx:200-215).
+
+    Implementation note: circle views and circular-window minima are kept as
+    Python lists of (H, W) arrays — pure elementwise chains over slices of
+    one padded buffer, which XLA fuses into a few passes. (A stacked
+    (16, H, W) tensor + jnp.roll formulation materializes every stage to HBM
+    and measured ~25x more memory traffic on TPU.)"""
     h, w = img.shape
-    f = img.astype(jnp.int32)
+    f = img.astype(jnp.int16)
     padded = jnp.pad(f, 3)  # zero-pad; border region is masked off below
 
-    p = f  # center pixel
-    brighter = jnp.minimum(p + threshold, 255)
-    darker = jnp.maximum(p - threshold, 0)
+    brighter = jnp.minimum(f + jnp.int16(threshold), 255).astype(jnp.int16)
+    darker = jnp.maximum(f - jnp.int16(threshold), 0).astype(jnp.int16)
 
-    c = _shifted_circle_views(padded, h, w)          # (16, H, W) i32
-    d = jnp.maximum(darker[None] - c, 0)             # darker diffs
-    b = jnp.maximum(c - brighter[None], 0)           # brighter diffs
+    d_list = []
+    b_list = []
+    for (dy, dx) in CIRCLE_OFFSETS:
+        c = jax.lax.slice(padded, (3 + dy, 3 + dx), (3 + dy + h, 3 + dx + w))
+        d_list.append(jnp.maximum(darker - c, 0))
+        b_list.append(jnp.maximum(c - brighter, 0))
 
-    def arc_strength(diffs: jax.Array) -> jax.Array:
-        """max over the 16 arc starts of (min over n consecutive diffs),
-        computed as a log-depth running min over the circular axis."""
-        m = diffs
+    def arc_strength(vals):
+        """max over the 16 arc starts of (min over n consecutive diffs) —
+        window-min by doubling over the running-min list."""
+        m = list(vals)
         span = 1
-        # running minimum over window n along axis 0 (circular)
-        while span * 2 <= n:
-            m = jnp.minimum(m, jnp.roll(m, -span, axis=0))
-            span *= 2
-        if span < n:
-            m = jnp.minimum(m, jnp.roll(m, -(n - span), axis=0))
-        return jnp.max(m, axis=0)
+        while span < n:
+            step = min(span, n - span)
+            m = [jnp.minimum(m[k], m[(k + step) % 16]) for k in range(16)]
+            span += step
+        out = m[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, m[k])
+        return out
 
-    strength = jnp.maximum(arc_strength(d), arc_strength(b))
+    strength = jnp.maximum(arc_strength(d_list), arc_strength(b_list))
 
     # zero the 3-px border (reference computes rows/cols in [3, dim-3))
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -107,15 +109,15 @@ def fast_nms(strengths: jax.Array) -> jax.Array:
     if ANY 8-neighbor has strength >= center (ties suppress both sides,
     CompVFastNmsGather_C fast_dete.cxx:773-816). Applied in [3, dim-3)."""
     h, w = strengths.shape
-    s = strengths.astype(jnp.int32)
+    s = strengths.astype(jnp.int16)
     padded = jnp.pad(s, 1)
-    neigh = []
+    nmax = None
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            neigh.append(jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w)))
-    nmax = jnp.stack(neigh).max(axis=0)
+            v = jax.lax.slice(padded, (1 + dy, 1 + dx), (1 + dy + h, 1 + dx + w))
+            nmax = v if nmax is None else jnp.maximum(nmax, v)
     keep = (s > 0) & (nmax < s)
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -136,7 +138,7 @@ def fast_detect(img: jax.Array, config: FastConfig = FastConfig()) -> Keypoints:
         s = fast_nms(s)
     flat = s.astype(jnp.float32).ravel()
     k = min(config.max_features, flat.shape[0])
-    vals, idx = jax.lax.top_k(flat, k)
+    vals, idx = select_top_k(flat, k, config.exact_topk)
     valid = vals > 0
     x = (idx % w).astype(jnp.float32)
     y = (idx // w).astype(jnp.float32)

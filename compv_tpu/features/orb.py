@@ -40,6 +40,7 @@ from compv_tpu.image.pyramid import pyramid_sizes, scale_factors, scale_factors_
 from compv_tpu.image.scale import scale as scale_image
 from compv_tpu.ops.conv import gaussian_blur
 from compv_tpu.ops.bitops import pack_bits_to_bytes
+from compv_tpu.ops.topk import select_top_k
 
 __all__ = ["OrbConfig", "brief_pattern", "patch_orientation", "brief_describe",
            "orb_detect_describe", "OrbResult"]
@@ -210,7 +211,7 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
                     & (xx >= PATCH_RADIUS) & (xx < lw - PATCH_RADIUS))
         s = jnp.where(interior, s, 0)
 
-        vals, idx = jax.lax.top_k(s.astype(jnp.float32).ravel(), k)
+        vals, idx = select_top_k(s.astype(jnp.float32).ravel(), k)
         valid = vals > 0
         lx = (idx % lw).astype(jnp.float32)
         ly = (idx // lw).astype(jnp.float32)
