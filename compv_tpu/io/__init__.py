@@ -10,6 +10,9 @@ from compv_tpu.io.video import (  # noqa: F401
 from compv_tpu.io.camera import (  # noqa: F401
     Camera, VideoFileCamera, SyntheticCamera, list_devices,
 )
+from compv_tpu.io.exif import (  # noqa: F401
+    ExifData, read_exif, orientation_to_transform,
+)
 from compv_tpu.io.serialize import (  # noqa: F401
     array_to_json, array_from_json, save_mat_json, load_mat_json,
     save_checkpoint, load_checkpoint, save_npz, load_npz,

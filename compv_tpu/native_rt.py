@@ -13,7 +13,11 @@ import threading
 
 import numpy as np
 
-__all__ = ["native_available", "AlignedPool", "PrefetchLoader", "copy_strided"]
+__all__ = ["native_available", "AlignedPool", "PrefetchLoader", "copy_strided",
+           "Executor", "md5_mat"]
+
+_RANGE_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_long,
+                             ctypes.c_long, ctypes.c_int)
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "native", "compv_native.cpp")
@@ -66,6 +70,22 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.c_size_t, ctypes.c_size_t]
+        lib.compv_executor_create.restype = ctypes.c_void_p
+        lib.compv_executor_create.argtypes = [ctypes.c_int]
+        lib.compv_executor_num_threads.restype = ctypes.c_int
+        lib.compv_executor_num_threads.argtypes = [ctypes.c_void_p]
+        lib.compv_executor_parallel_for.argtypes = [
+            ctypes.c_void_p, _RANGE_FN, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int]
+        lib.compv_executor_destroy.argtypes = [ctypes.c_void_p]
+        lib.compv_md5_create.restype = ctypes.c_void_p
+        lib.compv_md5_update.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_uint8),
+                                         ctypes.c_size_t]
+        lib.compv_md5_update_strided.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t]
+        lib.compv_md5_final.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         _lib = lib
         return lib
 
@@ -167,6 +187,109 @@ class PrefetchLoader:
             self._h = None
         if self._py:
             self._py.close()
+
+
+class Executor:
+    """Native fork-join thread pool (reference CompVThreadDispatcher11 —
+    one pinned worker per core, static range splitting, nested-fork runs
+    inline; base/parallel/compv_threaddisp11.cxx:18-46,65). Drives host-side
+    pre/post processing around the XLA compute path.
+
+    ``parallel_for(fn, begin, end, chunks)`` calls ``fn(b, e)`` on workers
+    for disjoint sub-ranges and blocks until all complete. Falls back to a
+    Python ThreadPoolExecutor when the native library is unavailable.
+    """
+
+    def __init__(self, n_threads: int = 0):
+        self._lib = _load()
+        self._h = (self._lib.compv_executor_create(n_threads)
+                   if self._lib else None)
+        self._py = None
+        self._tl = threading.local()
+        if not self._h:
+            import concurrent.futures as cf
+            self._py = cf.ThreadPoolExecutor(max_workers=n_threads or None)
+
+    @property
+    def num_threads(self) -> int:
+        if self._h:
+            return int(self._lib.compv_executor_num_threads(self._h))
+        return self._py._max_workers
+
+    def parallel_for(self, fn, begin: int, end: int, chunks: int = 0) -> None:
+        if end <= begin:
+            return
+        if self._h:
+            exc = []
+
+            @_RANGE_FN
+            def trampoline(_arg, b, e, _worker):
+                try:
+                    fn(int(b), int(e))
+                except BaseException as err:  # noqa: BLE001 - re-raised below
+                    exc.append(err)
+
+            self._lib.compv_executor_parallel_for(
+                self._h, trampoline, None, begin, end, chunks)
+            if exc:
+                raise exc[0]
+            return
+        if getattr(self._tl, "in_worker", False):
+            fn(begin, end)  # nested fork runs inline (reference forbids it)
+            return
+        n = end - begin
+        chunks = min(chunks or self.num_threads, n)
+        per, extra = divmod(n, chunks)
+
+        def run(b, e):
+            self._tl.in_worker = True
+            try:
+                fn(b, e)
+            finally:
+                self._tl.in_worker = False
+
+        futs, b = [], begin
+        for c in range(chunks):
+            e = b + per + (1 if c < extra else 0)
+            futs.append(self._py.submit(run, b, e))
+            b = e
+        for f in futs:
+            f.result()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.compv_executor_destroy(self._h)
+            self._h = None
+        if self._py:
+            self._py.shutdown()
+
+
+def md5_mat(arr: np.ndarray, stride: int | None = None,
+            row_bytes: int | None = None) -> str:
+    """MD5 hex digest of a matrix, row-wise ignoring stride padding — the
+    reference's golden-test hash (compv_tests_md5, tests_common.cxx:98-116).
+    Native implementation; hashlib fallback."""
+    a = np.ascontiguousarray(arr)
+    flat = a.reshape(a.shape[0], -1).view(np.uint8) if a.ndim > 1 else \
+        a.view(np.uint8).reshape(1, -1)
+    rows, rb = flat.shape
+    stride = stride if stride is not None else rb
+    row_bytes = row_bytes if row_bytes is not None else rb
+    lib = _load()
+    if lib:
+        h = lib.compv_md5_create()
+        lib.compv_md5_update_strided(
+            h, flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            stride, row_bytes, rows)
+        out = ctypes.create_string_buffer(33)
+        lib.compv_md5_final(h, out)
+        return out.value.decode()
+    import hashlib
+    h = hashlib.md5()
+    raw = flat.tobytes()
+    for r in range(rows):
+        h.update(raw[r * stride: r * stride + row_bytes])
+    return h.hexdigest()
 
 
 def copy_strided(src: np.ndarray, src_stride: int, dst: np.ndarray,
