@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from compv_tpu.core.types import Keypoints
-from compv_tpu.ops.topk import select_top_k
+from compv_tpu.ops.topk import select_top_k_2d
 
 __all__ = ["FastConfig", "fast_strengths", "fast_nms", "fast_detect",
            "CIRCLE_OFFSETS"]
@@ -58,28 +58,37 @@ class FastConfig:
                                # hardware approx_max_k (exact on CPU)
 
 
-def fast_strengths(img: jax.Array, threshold: int = 20, n: int = 9) -> jax.Array:
-    """Dense strengths map (H, W) u8. Zero outside the 3-px border, exactly
-    like the reference's calloc'd map with +3 borders (fast_dete.cxx:200-215).
+def _strengths_f32(img: jax.Array, threshold: int, n: int) -> jax.Array:
+    """Dense strengths map (H, W) f32 of exact small integers. Zero outside
+    the 3-px border, exactly like the reference's calloc'd map with +3
+    borders (fast_dete.cxx:200-215).
 
-    Implementation note: circle views and circular-window minima are kept as
-    Python lists of (H, W) arrays — pure elementwise chains over slices of
-    one padded buffer, which XLA fuses into a few passes. (A stacked
-    (16, H, W) tensor + jnp.roll formulation materializes every stage to HBM
-    and measured ~25x more memory traffic on TPU.)"""
+    Implementation notes (all measured on a v5e chip, 720p):
+    * circle views and circular-window minima are kept as Python lists of
+      (H, W) arrays — pure elementwise chains over slices of one padded
+      buffer, which XLA fuses into a few passes. (A stacked (16, H, W)
+      tensor + jnp.roll formulation materializes every stage to HBM and
+      measured ~25x more memory traffic.)
+    * f32 lanes, not int16: the VPU is 32-bit native, int16 costs
+      pack/unpack (158 us -> 116 us per frame).
+    * signed diffs with ONE final relu instead of 32 per-element
+      max(x, 0) clamps. Bit-identical: positive diffs (<= 255) are exact,
+      negative arc-minima stay negative and the final relu zeroes them —
+      same outcome as the reference's saturating per-element clamps
+      (fast_dete.cxx:727-767)."""
     h, w = img.shape
-    f = img.astype(jnp.int16)
+    f = img.astype(jnp.float32)
     padded = jnp.pad(f, 3)  # zero-pad; border region is masked off below
 
-    brighter = jnp.minimum(f + jnp.int16(threshold), 255).astype(jnp.int16)
-    darker = jnp.maximum(f - jnp.int16(threshold), 0).astype(jnp.int16)
+    brighter = f + jnp.float32(threshold)
+    darker = f - jnp.float32(threshold)
 
     d_list = []
     b_list = []
     for (dy, dx) in CIRCLE_OFFSETS:
         c = jax.lax.slice(padded, (3 + dy, 3 + dx), (3 + dy + h, 3 + dx + w))
-        d_list.append(jnp.maximum(darker - c, 0))
-        b_list.append(jnp.maximum(c - brighter, 0))
+        d_list.append(darker - c)
+        b_list.append(c - brighter)
 
     def arc_strength(vals):
         """max over the 16 arc starts of (min over n consecutive diffs) —
@@ -96,20 +105,23 @@ def fast_strengths(img: jax.Array, threshold: int = 20, n: int = 9) -> jax.Array
         return out
 
     strength = jnp.maximum(arc_strength(d_list), arc_strength(b_list))
+    strength = jnp.maximum(strength, 0.0)
 
     # zero the 3-px border (reference computes rows/cols in [3, dim-3))
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(interior, strength, 0).astype(jnp.uint8)
+    return jnp.where(interior, strength, 0.0)
 
 
-def fast_nms(strengths: jax.Array) -> jax.Array:
-    """3x3 non-maxima suppression, reference semantics: suppress the center
-    if ANY 8-neighbor has strength >= center (ties suppress both sides,
-    CompVFastNmsGather_C fast_dete.cxx:773-816). Applied in [3, dim-3)."""
-    h, w = strengths.shape
-    s = strengths.astype(jnp.int16)
+def fast_strengths(img: jax.Array, threshold: int = 20, n: int = 9) -> jax.Array:
+    """Dense strengths map (H, W) u8 (reference FastDataRow semantics)."""
+    return _strengths_f32(img, threshold, n).astype(jnp.uint8)
+
+
+def _nms_f32(s: jax.Array) -> jax.Array:
+    """3x3 NMS on an f32 strengths map (see fast_nms for semantics)."""
+    h, w = s.shape
     padded = jnp.pad(s, 1)
     nmax = None
     for dy in (-1, 0, 1):
@@ -122,7 +134,14 @@ def fast_nms(strengths: jax.Array) -> jax.Array:
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(keep & interior, s, 0).astype(jnp.uint8)
+    return jnp.where(keep & interior, s, 0.0)
+
+
+def fast_nms(strengths: jax.Array) -> jax.Array:
+    """3x3 non-maxima suppression, reference semantics: suppress the center
+    if ANY 8-neighbor has strength >= center (ties suppress both sides,
+    CompVFastNmsGather_C fast_dete.cxx:773-816). Applied in [3, dim-3)."""
+    return _nms_f32(strengths.astype(jnp.float32)).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -133,12 +152,11 @@ def fast_detect(img: jax.Array, config: FastConfig = FastConfig()) -> Keypoints:
     fixed-capacity Keypoints (capacity = max_features) sorted by decreasing
     strength."""
     h, w = img.shape
-    s = fast_strengths(img, config.threshold, config.n)
+    s = _strengths_f32(img, config.threshold, config.n)
     if config.nms:
-        s = fast_nms(s)
-    flat = s.astype(jnp.float32).ravel()
-    k = min(config.max_features, flat.shape[0])
-    vals, idx = select_top_k(flat, k, config.exact_topk)
+        s = _nms_f32(s)
+    k = min(config.max_features, h * w)
+    vals, idx = select_top_k_2d(s, k, config.exact_topk)
     valid = vals > 0
     x = (idx % w).astype(jnp.float32)
     y = (idx // w).astype(jnp.float32)

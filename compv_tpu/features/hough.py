@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from compv_tpu.core.types import Lines
-from compv_tpu.ops.topk import select_top_k
+from compv_tpu.ops.topk import select_top_k_2d
 
 __all__ = ["HoughShtConfig", "hough_sht", "hough_lines_to_cartesian",
            "HoughKhtConfig", "hough_kht"]
@@ -45,9 +45,8 @@ def _edge_list(edges: jax.Array, capacity: int):
     """Top-`capacity` edge pixels (all nonzero if they fit). Returns
     (x, y, valid)."""
     h, w = edges.shape
-    flat = edges.astype(jnp.float32).ravel()
     k = min(capacity, h * w)
-    vals, idx = select_top_k(flat, k)
+    vals, idx = select_top_k_2d(edges, k)
     valid = vals > 0
     return (idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32), valid
 

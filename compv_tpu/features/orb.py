@@ -35,12 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from compv_tpu.core.types import Keypoints
-from compv_tpu.features.fast import FastConfig, fast_nms, fast_strengths
+from compv_tpu.features.fast import FastConfig, _nms_f32, _strengths_f32
 from compv_tpu.image.pyramid import pyramid_sizes, scale_factors, scale_factors_sum
 from compv_tpu.image.scale import scale as scale_image
 from compv_tpu.ops.conv import gaussian_blur
 from compv_tpu.ops.bitops import pack_bits_to_bytes
-from compv_tpu.ops.topk import select_top_k
+from compv_tpu.ops.topk import select_top_k_2d
 
 __all__ = ["OrbConfig", "brief_pattern", "patch_orientation", "brief_describe",
            "orb_detect_describe", "OrbResult"]
@@ -199,9 +199,9 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
         k = min(budgets[lv], lh * lw)
         level_img = img if lv == 0 else scale_image(img, lh, lw, "bilinear")
 
-        s = fast_strengths(level_img, config.threshold, config.fast_n)
+        s = _strengths_f32(level_img, config.threshold, config.fast_n)
         if config.nms:
-            s = fast_nms(s)
+            s = _nms_f32(s)
         # zero out the border so top-k never selects points whose patch
         # crosses the image edge (reference eraseTooCloseToBorder with
         # patch radius, orb_dete.cxx:318-323)
@@ -209,9 +209,9 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
         xx = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 1)
         interior = ((yy >= PATCH_RADIUS) & (yy < lh - PATCH_RADIUS)
                     & (xx >= PATCH_RADIUS) & (xx < lw - PATCH_RADIUS))
-        s = jnp.where(interior, s, 0)
+        s = jnp.where(interior, s, 0.0)
 
-        vals, idx = select_top_k(s.astype(jnp.float32).ravel(), k)
+        vals, idx = select_top_k_2d(s, k)
         valid = vals > 0
         lx = (idx % lw).astype(jnp.float32)
         ly = (idx // lw).astype(jnp.float32)

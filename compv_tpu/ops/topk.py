@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["select_top_k"]
+__all__ = ["select_top_k", "select_top_k_2d"]
 
 
 def select_top_k(x: jax.Array, k: int, exact: bool = False):
@@ -21,3 +21,15 @@ def select_top_k(x: jax.Array, k: int, exact: bool = False):
     if exact:
         return jax.lax.top_k(x, k)
     return jax.lax.approx_max_k(x, k)
+
+
+def select_top_k_2d(img_vals: jax.Array, k: int, exact: bool = False):
+    """Top-k over a dense 2-D map -> (values (k,), flat indices (k,)).
+
+    Measured on TPU (720p map): letting XLA fuse the producer chain of the
+    map into approx_max_k's operand costs ~5x (163 us vs 33 us per frame) —
+    the partial-reduce consumer forces the producer out of its tiled layout.
+    The optimization_barrier cuts the fusion so the map materializes once in
+    its natural layout and the hardware PartialReduce streams it."""
+    img_vals = jax.lax.optimization_barrier(img_vals)
+    return select_top_k(img_vals.astype(jnp.float32).ravel(), k, exact)

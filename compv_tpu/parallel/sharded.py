@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from compv_tpu.features.fast import FastConfig, fast_nms, fast_strengths
+from compv_tpu.features.fast import FastConfig, _nms_f32, _strengths_f32
 from compv_tpu.features.orb import brief_describe, patch_orientation
 from compv_tpu.matchers.bruteforce import hamming_distance_matrix
 from compv_tpu.ops.conv import gaussian_blur
@@ -31,7 +31,7 @@ __all__ = ["sharded_detect", "sharded_all_pairs_match", "distributed_ba_solve",
 def _detect_one(img, threshold: int, k: int):
     """Single-frame FAST detect + orientation + BRIEF, fixed capacity k."""
     h, w = img.shape
-    s = fast_nms(fast_strengths(img, threshold, 9))
+    s = _nms_f32(_strengths_f32(img, threshold, 9))
     vals, idx = jax.lax.top_k(s.astype(jnp.float32).ravel(), k)
     valid = vals > 0
     x = (idx % w).astype(jnp.float32)
