@@ -7,6 +7,15 @@ HBM, computes the 16-neighbor circle diffs, circular-window arc minima
 (log-depth doubling), per-pixel strength, and 3x3 NMS — one HBM read and
 one HBM write per pixel, the kernel's roofline.
 
+Performance notes (measured on a v5e chip):
+  * compute in f32 — the VPU is 32-bit native; narrow int types cost
+    pack/unpack (same finding as features/fast.py);
+  * signed diffs + one final relu instead of per-element clamps
+    (bit-identical, see features/fast._strengths_f32);
+  * one lane-roll per distinct column offset (dx in {+-1,+-2,+-3}) of the
+    whole slab, shared by every circle point and NMS neighbor with that dx
+    — 6 rolls instead of 18.
+
 Semantics are bit-identical to features/fast.fast_strengths + fast_nms
 (verified by the parity tests in tests/test_pallas.py).
 """
@@ -32,34 +41,34 @@ def _round_up(x, m):
 
 
 def _kernel(img_ref, out_ref, slab, sem, *, th, wp, w, h, threshold, n,
-            do_nms):
+            do_nms, out_dtype):
     t = pl.program_id(0)
 
     dma = pltpu.make_async_copy(img_ref.at[pl.ds(t * th, th + 8)], slab, sem)
     dma.start()
     dma.wait()
 
-    x = slab[...].astype(jnp.int32)             # (th+8, wp)
+    x = slab[...].astype(jnp.float32)             # (th+8, wp)
+
+    # one rolled copy of the slab per distinct column offset; rolling left
+    # by dx brings column (col + dx) into lane `col`
+    rolled = {0: x}
+    for dx in (-3, -2, -1, 1, 2, 3):
+        rolled[dx] = pltpu.roll(x, (-dx) % wp, axis=1)
 
     # strengths for local rows 3 .. th+4 (th+2 rows)
     center = x[3:th + 5, :]
-    brighter = jnp.minimum(center + threshold, 255)
-    darker = jnp.maximum(center - threshold, 0)
-
-    def circle_view(dy, dx):
-        rows = x[3 + dy: 3 + dy + th + 2, :]
-        if dx == 0:
-            return rows
-        return pltpu.roll(rows, (-dx) % wp, axis=1)
+    brighter = center + jnp.float32(threshold)
+    darker = center - jnp.float32(threshold)
 
     d_list = []
     b_list = []
     for (dy, dx) in CIRCLE_OFFSETS:
-        c = circle_view(dy, dx)
-        d_list.append(jnp.maximum(darker - c, 0))
-        b_list.append(jnp.maximum(c - brighter, 0))
+        c = rolled[dx][3 + dy: 3 + dy + th + 2, :]
+        d_list.append(darker - c)
+        b_list.append(c - brighter)
 
-    def arc_strength_exact(vals):
+    def arc_strength(vals):
         # window-min by doubling over the *running-min arrays* (correct form)
         m = list(vals)
         span = 1
@@ -72,58 +81,62 @@ def _kernel(img_ref, out_ref, slab, sem, *, th, wp, w, h, threshold, n,
             out = jnp.maximum(out, m[k])
         return out
 
-    strength = jnp.maximum(arc_strength_exact(d_list),
-                           arc_strength_exact(b_list))   # (th+2, wp)
+    strength = jnp.maximum(arc_strength(d_list), arc_strength(b_list))
+    strength = jnp.maximum(strength, 0.0)          # (th+2, wp)
 
     # interior masking: global row in [3, h-3), col in [3, w-3)
     local_rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp), 0)
     grow = t * th + local_rows - 1           # global row of each strengths row
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp), 1)
     interior = ((grow >= 3) & (grow < h - 3) & (cols >= 3) & (cols < w - 3))
-    strength = jnp.where(interior, strength, 0)
+    strength = jnp.where(interior, strength, 0.0)
 
     if do_nms:
         s = strength
+        srolled = {0: s}
+        for dx in (-1, 1):
+            srolled[dx] = pltpu.roll(s, (-dx) % wp, axis=1)
         center_s = s[1:th + 1, :]
-        neigh = []
+        nmax = None
         for dy in (-1, 0, 1):
-            rows = s[1 + dy: 1 + dy + th, :]
             for dx in (-1, 0, 1):
                 if dy == 0 and dx == 0:
                     continue
-                neigh.append(rows if dx == 0 else pltpu.roll(rows, (-dx) % wp, axis=1))
-        nmax = neigh[0]
-        for v in neigh[1:]:
-            nmax = jnp.maximum(nmax, v)
+                v = srolled[dx][1 + dy: 1 + dy + th, :]
+                nmax = v if nmax is None else jnp.maximum(nmax, v)
         keep = (center_s > 0) & (nmax < center_s)
-        out = jnp.where(keep, center_s, 0)
+        out = jnp.where(keep, center_s, 0.0)
     else:
         out = strength[1:th + 1, :]
 
-    out_ref[...] = out.astype(jnp.uint8)
+    out_ref[...] = out.astype(out_dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("threshold", "n", "nms", "interpret"))
+                   static_argnames=("threshold", "n", "nms", "interpret",
+                                    "as_f32"))
 def fast_strengths_nms_pallas(img: jax.Array, threshold: int = 20, n: int = 9,
-                              nms: bool = True,
-                              interpret: bool = False) -> jax.Array:
-    """(H, W) u8 -> (H, W) u8 strengths map (NMS applied when nms=True)."""
+                              nms: bool = True, interpret: bool = False,
+                              as_f32: bool = False) -> jax.Array:
+    """(H, W) u8 -> (H, W) strengths map (NMS applied when nms=True).
+    as_f32=True returns f32 (feeds top-k without a u8 roundtrip)."""
     h, w = img.shape
     hp = _round_up(h, _TILE_H)
     wp = _round_up(w, _LANES)
+    out_dtype = jnp.float32 if as_f32 else jnp.uint8
     # pad: 4 halo rows top, 4 + tile padding bottom, lanes to wp
     padded = jnp.pad(img, ((4, 4 + (hp - h)), (0, wp - w)))
 
     kernel = functools.partial(_kernel, th=_TILE_H, wp=wp, w=w, h=h,
-                               threshold=threshold, n=n, do_nms=nms)
+                               threshold=threshold, n=n, do_nms=nms,
+                               out_dtype=out_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(hp // _TILE_H,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_TILE_H, wp), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((_TILE_H + 8, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA,
