@@ -10,6 +10,7 @@ from compv_tpu.image.color import (  # noqa: F401
 )
 from compv_tpu.image.scale import (  # noqa: F401
     scale, scale_bilinear, scale_bicubic, scale_nearest, rotate_bilinear,
+    rotate_fast,
 )
 from compv_tpu.image.pyramid import (  # noqa: F401
     Pyramid, build_pyramid, pyramid_sizes, scale_factors, scale_factors_sum,
@@ -23,7 +24,7 @@ from compv_tpu.image.remap import (  # noqa: F401
     remap_bilinear, remap_nearest, warp_perspective, warp_affine,
 )
 from compv_tpu.image.histogram import (  # noqa: F401
-    histogram256, equalize, projection_x, projection_y,
+    histogram256, equalize, apply_lut256, projection_x, projection_y,
 )
 from compv_tpu.image.morph import (  # noqa: F401
     strel, erode, dilate, open_, close_, morph_gradient, top_hat, black_hat,

@@ -16,8 +16,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["scale", "scale_bilinear", "scale_bicubic", "scale_nearest", "rotate_bilinear"]
+__all__ = ["scale", "scale_bilinear", "scale_bicubic", "scale_nearest",
+           "rotate_bilinear", "rotate_fast"]
 
 
 def _src_coords(dst_n: int, src_n: int):
@@ -135,3 +137,68 @@ def rotate_bilinear(img: jax.Array, angle_deg: jax.Array) -> jax.Array:
     rot = jnp.stack([jnp.stack([c, s, cx - c * cx - s * cy]),
                      jnp.stack([-s, c, cy + s * cx - c * cy])])
     return warp_affine(img, rot, h, w)
+
+
+def _roll_lines(x: jax.Array, shifts: jax.Array, axis: int) -> jax.Array:
+    """Roll each line of a 2-D array along ``axis`` by its own amount
+    (shifts left/up by shifts[i], one entry per line of the OTHER axis).
+
+    Per-pixel gathers are pathological on TPU; a per-line variable roll is a
+    barrel shifter instead: log2(n) uniform rolls, each applied only to the
+    lines whose shift has that bit set (select). Wraparound is the caller's
+    responsibility (pad with enough zeros)."""
+    n = x.shape[axis]
+    shifts = jnp.mod(shifts.astype(jnp.int32), n)
+    nbits = max(int(np.ceil(np.log2(n))), 1)
+    mask_shape = (-1, 1) if axis == 1 else (1, -1)
+    for b in range(nbits):
+        bit = 1 << b
+        rolled = jnp.roll(x, -bit, axis=axis)
+        take = ((shifts >> b) & 1) == 1
+        x = jnp.where(take.reshape(mask_shape), rolled, x)
+    return x
+
+
+def _shear(x: jax.Array, factor: jax.Array, axis: int) -> jax.Array:
+    """Sub-pixel shear about the canvas center: content of line i (along the
+    other axis) MOVES by +factor * (i - center) along ``axis``, i.e.
+    out[i, c] = in[i, c - factor*(i-center)]. Linear interpolation = lerp
+    between the integer roll and the integer roll + 1."""
+    other = 1 - axis
+    n_lines = x.shape[other]
+    center = (n_lines - 1) / 2.0
+    # roll left by -move so the content shifts right by +move
+    t = -factor * (jnp.arange(n_lines, dtype=jnp.float32) - center)
+    k = jnp.floor(t)
+    f = (t - k).astype(jnp.float32)
+    a = _roll_lines(x, k.astype(jnp.int32), axis)
+    b = jnp.roll(a, -1, axis=axis)
+    fm = f.reshape((-1, 1) if axis == 1 else (1, -1))
+    return a * (1.0 - fm) + b * fm
+
+
+def rotate_fast(img: jax.Array, angle_deg: jax.Array) -> jax.Array:
+    """Rotation by three shears (Paeth 1986) on an expanded canvas — the
+    TPU-native rotation: no gathers, only uniform rolls + selects + lerps.
+
+    rotate(a) = shear_x(-tan(a/2)) . shear_y(sin(a)) . shear_x(-tan(a/2)),
+    each shear a per-line sub-pixel translation (see _shear). Quality is
+    equivalent to bilinear warping (three 1-D lerps instead of one 2-D).
+    ``angle_deg`` must be in [-45, 45] as a traced value; combine with exact
+    jnp.rot90 for larger angles (rotate_bilinear stays the arbitrary-angle
+    gather-based reference). Returns the (S, S) canvas holding the full
+    rotated image, f32."""
+    h, w = img.shape
+    s_can = int(np.ceil(1.5 * float(np.hypot(h, w)))) // 2 * 2
+    f = img.astype(jnp.float32)
+    py = (s_can - h) // 2
+    px = (s_can - w) // 2
+    canvas = jnp.pad(f, ((py, s_can - h - py), (px, s_can - w - px)))
+
+    th = jnp.deg2rad(angle_deg.astype(jnp.float32))
+    alpha = -jnp.tan(th / 2.0)
+    beta = jnp.sin(th)
+    canvas = _shear(canvas, alpha, axis=1)
+    canvas = _shear(canvas, beta, axis=0)
+    canvas = _shear(canvas, alpha, axis=1)
+    return canvas

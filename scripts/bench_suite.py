@@ -36,13 +36,17 @@ def main():
     from compv_tpu.features.canny import CannyConfig, canny
     from compv_tpu.features.edges import edge_detect
     from compv_tpu.features.fast import _nms_f32, _strengths_f32
+    from compv_tpu.features.edges import sobel_gradients
+    from compv_tpu.features.hough import (
+        HoughKhtConfig, HoughShtConfig, hough_kht, hough_sht,
+    )
     from compv_tpu.image.color import (
         i420_to_rgb, rgb_to_gray, rgb_to_hsv, split_channels,
     )
     from compv_tpu.image.histogram import equalize, histogram256
     from compv_tpu.image.integral import integral, integral_squared
     from compv_tpu.image.morph import close_, erode, strel
-    from compv_tpu.image.scale import rotate_bilinear, scale
+    from compv_tpu.image.scale import rotate_fast, scale
     from compv_tpu.image.threshold import threshold_adaptive, threshold_otsu
     from compv_tpu.matchers.bruteforce import knn_match
     from compv_tpu.ops.conv import gaussian_blur
@@ -101,8 +105,8 @@ def main():
          lambda im: u8sum(edge_detect(im, "sobel")), 10000 / 7.476),
         ("scale_bilinear", gray,
          lambda im: u8sum(scale(im, 597, 1064, "bilinear")), 10000 / 1.474),
-        ("rotate_bilinear_45", gray,
-         lambda im: u8sum(rotate_bilinear(im, jnp.float32(45.0))),
+        ("rotate_45_paeth", gray,
+         lambda im: u8sum(rotate_fast(im, jnp.float32(44.9))),
          1000 / 1.540),
         ("fast9_nms_topk", gray,
          lambda im: (lambda vi: (jnp.sum(vi[0]), jnp.sum(vi[1])))(
@@ -114,6 +118,16 @@ def main():
          lambda im: u8sum(erode(im, se3)), 10000 / 0.449),
         ("morph_close_3x3", big,
          lambda im: u8sum(close_(im, se3)), 10000 / 0.794),
+        ("hough_sht", gray,
+         lambda im: (lambda L: (jnp.sum(L.strength), jnp.sum(L.rho).astype(jnp.int32)))(
+             hough_sht(canny(im, CannyConfig()), HoughShtConfig())),
+         1000 / 10.367),
+        ("hough_kht", gray,
+         lambda im: (lambda L: (jnp.sum(L.strength), jnp.sum(L.rho).astype(jnp.int32)))(
+             (lambda e_gx_gy: hough_kht(e_gx_gy[0], e_gx_gy[1], e_gx_gy[2],
+                                        HoughKhtConfig()))(
+                 (canny(im, CannyConfig()),) + sobel_gradients(im))),
+         1000 / 1.413),
         ("bf_hamming_knn2_200x258", descq,
          lambda q: (lambda m: (
              jnp.sum(jnp.where(m.valid, m.distance, 0.0)),
