@@ -7,12 +7,14 @@ Reference:
   * KHT: core/features/hough/compv_core_feature_houghkht.cxx:208 — edge
     chains -> clusters -> per-cluster elliptical-Gaussian kernel votes.
 
-TPU redesign: the accumulator is ONE scatter-add over (edge pixels x angles)
-— the per-thread clone+merge disappears (XLA serializes the scatter
-deterministically). Edge pixels live in a fixed-capacity padded list. The
-KHT variant keeps the *voting model* (votes weighted by local line support)
-but replaces sequential cluster linking with per-pixel orientation-coherence
-weights — a dense reformulation (SURVEY.md §7 'hard parts').
+TPU redesign: the accumulator is a batched weighted bincount lowered to int8
+MXU matmuls (ops/bincount.py) — scatter-add measured ~60 ns/element on TPU,
+the matmul form is HBM-bandwidth bound. The per-thread clone+merge
+disappears (the matmul reduction IS the merge, bit-deterministic). Edge
+pixels live in a fixed-capacity padded list. The KHT variant keeps the
+*voting model* (votes weighted by local line support) but replaces
+sequential cluster linking with per-pixel orientation-coherence weights — a
+dense reformulation (SURVEY.md §7 'hard parts').
 """
 from __future__ import annotations
 
@@ -24,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from compv_tpu.core.types import Lines
+from compv_tpu.ops.bincount import batched_weighted_bincount
 from compv_tpu.ops.topk import select_top_k_2d
 
 __all__ = ["HoughShtConfig", "hough_sht", "hough_lines_to_cartesian",
@@ -51,22 +54,31 @@ def _edge_list(edges: jax.Array, capacity: int):
     return (idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32), valid
 
 
-def _accumulate(x, y, valid, weights, n_theta: int, rho_max: float,
-                rho_step: float, theta_step: float):
-    """(A, R) accumulator: for every edge point and every theta bin, vote
-    round((x cos + y sin + rho_max)/step). One scatter-add."""
+def _rho_bins(x, y, n_theta: int, rho_max: float, rho_step: float,
+              theta_step: float):
+    """(A, E) rho-bin index of every edge point at every theta."""
     thetas = jnp.arange(n_theta, dtype=jnp.float32) * theta_step
     cos_t = jnp.cos(thetas)
     sin_t = jnp.sin(thetas)
-    rho = x[:, None] * cos_t[None, :] + y[:, None] * sin_t[None, :]  # (E, A)
+    rho = cos_t[:, None] * x[None, :] + sin_t[:, None] * y[None, :]  # (A, E)
     n_rho = int(np.ceil(2 * rho_max / rho_step)) + 1
     rbin = jnp.round((rho + rho_max) / rho_step).astype(jnp.int32)
-    rbin = jnp.clip(rbin, 0, n_rho - 1)
-    tbin = jnp.broadcast_to(jnp.arange(n_theta, dtype=jnp.int32)[None, :],
-                            rbin.shape)
-    w = jnp.broadcast_to(weights[:, None] * valid[:, None], rbin.shape)
-    acc = jnp.zeros((n_theta, n_rho), jnp.float32)
-    acc = acc.at[tbin.ravel(), rbin.ravel()].add(w.ravel().astype(jnp.float32))
+    return jnp.clip(rbin, 0, n_rho - 1), n_rho
+
+
+def _accumulate(x, y, valid, weights, n_theta: int, rho_max: float,
+                rho_step: float, theta_step: float):
+    """(A, R) accumulator: for every edge point and every theta bin, vote
+    round((x cos + y sin + rho_max)/step).
+
+    Scatter-free: per-theta weighted bincount over rho as int8 MXU matmuls
+    (ops/bincount.py). The reference's per-thread accumulator clone + merge
+    (houghsht.cxx:184-196) disappears — the matmul reduction is the merge.
+    ``weights`` must be small non-negative integers (votes)."""
+    rbin, n_rho = _rho_bins(x, y, n_theta, rho_max, rho_step, theta_step)
+    w_row = (weights * valid).astype(jnp.int32)          # (E,)
+    w = jnp.broadcast_to(w_row[None, :], rbin.shape)
+    acc = batched_weighted_bincount(rbin, w, n_rho).astype(jnp.float32)
     return acc, n_rho
 
 
@@ -174,8 +186,11 @@ def _hough_kht_impl(edges, gx, gy, config: HoughKhtConfig, shape):
     ang_map = 0.5 * jnp.arctan2(2.0 * jxy, jxx - jyy)
     ang = ang_map[yi, xi]
     ang = jnp.where(ang < 0, ang + jnp.pi, ang)
-    tcenter = jnp.round(ang / theta_step).astype(jnp.int32)
+    tcenter = jnp.round(ang / theta_step).astype(jnp.int32) % n_theta
 
+    # KHT votes are SPARSE in theta (3 of n_theta bins per point), so the
+    # dense MXU bincount that wins for SHT loses here (measured 73 vs 330
+    # fps at 720p) — a 3E-element scatter stays the right tool
     acc = jnp.zeros((n_theta, n_rho), jnp.float32)
     for dt in (-1, 0, 1):
         tb = (tcenter + dt) % n_theta

@@ -17,7 +17,15 @@ Performance notes (measured on a v5e chip):
     — 6 rolls instead of 18.
 
 Semantics are bit-identical to features/fast.fast_strengths + fast_nms
-(verified by the parity tests in tests/test_pallas.py).
+(verified by the parity tests in tests/test_pallas.py and on-chip).
+
+Measured on chip (720p, long-loop slope timing): 168 us/frame vs the XLA
+fused chain's 120 us — XLA's static-slice fusion beats this hand-rolled
+kernel because pltpu.roll lane rotations are more expensive than XLA's
+halo-padded slices. The production detector path therefore uses
+features/fast._strengths_f32; this kernel is kept as the Pallas reference
+implementation of the fused stencil (and the faster option on very large
+frames where the XLA chain's intermediates spill).
 """
 from __future__ import annotations
 
@@ -48,7 +56,8 @@ def _kernel(img_ref, out_ref, slab, sem, *, th, wp, w, h, threshold, n,
     dma.start()
     dma.wait()
 
-    x = slab[...].astype(jnp.float32)             # (th+8, wp)
+    # Mosaic has no direct u8 -> f32 cast on TPU; hop through int32
+    x = slab[...].astype(jnp.int32).astype(jnp.float32)   # (th+8, wp)
 
     # one rolled copy of the slab per distinct column offset; rolling left
     # by dx brings column (col + dx) into lane `col`
@@ -109,6 +118,8 @@ def _kernel(img_ref, out_ref, slab, sem, *, th, wp, w, h, threshold, n,
     else:
         out = strength[1:th + 1, :]
 
+    if out_dtype == jnp.uint8:
+        out = out.astype(jnp.int32)  # Mosaic: no direct f32 -> u8 cast
     out_ref[...] = out.astype(out_dtype)
 
 
