@@ -97,13 +97,33 @@ def symmetric_transfer_error(h: jax.Array, src: jax.Array, dst: jax.Array
 
 def _masked_sample_idx(key: jax.Array, mask: jax.Array, s: int, k: int
                        ) -> jax.Array:
-    """(s, k) random indices drawn from valid positions of ``mask``.
-    Builds a compacted valid-index table then uniform-samples it."""
+    """(s, k) random indices drawn WITHOUT replacement from valid positions
+    of ``mask`` (the reference's PRNG sampler also rejects duplicate rows,
+    calib_homography.cxx:188-246). Permutation-top-k trick: per hypothesis,
+    draw N uniforms, sink invalid points to -1, take the k largest — a
+    uniformly random k-subset of the valid indices, distinct by
+    construction. If fewer than k points are valid the sample contains
+    invalid points and the hypothesis loses at scoring."""
     n = mask.shape[0]
-    order = jnp.argsort(~mask)                 # valid indices first
-    n_valid = jnp.sum(mask).astype(jnp.int32)
-    r = jax.random.randint(key, (s, k), 0, jnp.maximum(n_valid, 1))
-    return order[r]
+    u = jax.random.uniform(key, (s, n))
+    u = jnp.where(mask[None, :], u, -1.0)
+    _, idx = jax.lax.top_k(u, k)
+    return idx
+
+
+def _quad_nondegenerate(p4: jax.Array) -> jax.Array:
+    """True when no 3 of the 4 sample points are (nearly) colinear — the
+    reference rejects such samples before solving (calib_homography.cxx:
+    188-246). Scale-relative cross-product test over all 4 triples."""
+    i = jnp.array([0, 0, 0, 1])
+    j = jnp.array([1, 1, 2, 2])
+    l = jnp.array([2, 3, 3, 3])
+    a = p4[j] - p4[i]
+    b = p4[l] - p4[i]
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    scale = jnp.maximum(jnp.sum(a * a, axis=1) + jnp.sum(b * b, axis=1),
+                        1e-12)
+    return jnp.all(jnp.abs(cross) > 1e-5 * scale)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -131,13 +151,22 @@ def find_homography(src: jax.Array, dst: jax.Array,
         return compute_homography_dlt(s4, d4)
 
     hs = jax.vmap(solve_one)(idx)                                  # (S, 3, 3)
+    # hypothesis hygiene: reject colinear samples and degenerate solutions
+    # (reference: colinearity reject + zero-H guard,
+    # calib_homography.cxx:188-246)
+    samp_ok = (jax.vmap(_quad_nondegenerate)(src[idx])
+               & jax.vmap(_quad_nondegenerate)(dst[idx])
+               & jnp.all(mask[idx], axis=1))
+    h_ok = jnp.all(jnp.isfinite(hs), axis=(1, 2))
+    hyp_ok = samp_ok & h_ok
     errs = jax.vmap(lambda h: symmetric_transfer_error(h, src, dst))(hs)
     errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)            # (S, N)
-    inl = (errs < config.threshold) & mask[None, :]
+    inl = (errs < config.threshold) & mask[None, :] & hyp_ok[:, None]
     counts = jnp.sum(inl, axis=1)
     # tie-break: lower summed inlier error
     score = counts.astype(jnp.float32) - 1e-9 * jnp.sum(
         jnp.where(inl, errs, 0.0), axis=1)
+    score = jnp.where(hyp_ok, score, -jnp.inf)
     best = jnp.argmax(score)
     best_h = hs[best]
     best_inl = inl[best]

@@ -43,19 +43,23 @@ def ransac(points: jax.Array, build_model: Callable, residuals: Callable,
         mask = jnp.ones((n,), bool)
 
     key = jax.random.PRNGKey(config.seed)
-    order = jnp.argsort(~mask)
-    n_valid = jnp.sum(mask).astype(jnp.int32)
-    r = jax.random.randint(key, (config.num_hypotheses, config.min_model_points),
-                           0, jnp.maximum(n_valid, 1))
-    idx = order[r]                                       # (S, k)
+    # sampling WITHOUT replacement (permutation-top-k): per hypothesis draw
+    # n uniforms, sink invalid points, take the k largest — a uniform random
+    # k-subset of valid indices, distinct by construction (the reference's
+    # sampler also rejects duplicates, compv_math_stats_ransac.cxx:62-96)
+    u = jax.random.uniform(key, (config.num_hypotheses, n))
+    u = jnp.where(mask[None, :], u, -1.0)
+    _, idx = jax.lax.top_k(u, config.min_model_points)   # (S, k)
+    hyp_ok = jnp.all(mask[idx], axis=1)                  # enough valid points
 
     models = jax.vmap(lambda i: build_model(points[i]))(idx)
     res = jax.vmap(lambda m: residuals(m, points))(models)   # (S, n)
     res = jnp.where(jnp.isfinite(res), res, jnp.inf)
-    inl = (res < config.threshold) & mask[None, :]
+    inl = (res < config.threshold) & mask[None, :] & hyp_ok[:, None]
     counts = jnp.sum(inl, axis=1)
     score = counts.astype(jnp.float32) - 1e-9 * jnp.sum(
         jnp.where(inl, res, 0.0), axis=1)
+    score = jnp.where(hyp_ok, score, -jnp.inf)
     best = jnp.argmax(score)
     best_model = jax.tree_util.tree_map(lambda m: m[best], models)
     return RansacResult(model=best_model, inliers=inl[best],

@@ -142,3 +142,70 @@ class TestGenericRansac:
         slope = -model[0] / model[1]
         assert abs(slope - 0.7) < 0.05
         assert int(res.num_inliers) > 120
+
+
+class TestSamplingHygiene:
+    """VERDICT r1 item 7: sampling without replacement + colinearity reject
+    (reference rejects both, calib_homography.cxx:188-246)."""
+
+    def test_samples_always_distinct(self):
+        from compv_tpu.calib.homography import _masked_sample_idx
+        import jax
+        mask = np.zeros(100, bool)
+        mask[10:90] = True
+        idx = np.asarray(_masked_sample_idx(
+            jax.random.PRNGKey(0), jnp.asarray(mask), 512, 4))
+        for row in idx:
+            assert len(set(row.tolist())) == 4, row
+        assert ((idx >= 10) & (idx < 90)).all()
+
+    def test_five_valid_points_still_solve(self):
+        """Nearly-empty mask: 5 valid points must still recover H (with
+        replacement, samples collapse onto duplicates and every hypothesis
+        is degenerate)."""
+        rs = np.random.default_rng(11)
+        h = random_h(rs)
+        src = np.zeros((64, 2), np.float32)
+        dst = np.zeros((64, 2), np.float32)
+        src[:5] = np.array([[10, 10], [600, 30], [580, 440], [40, 420],
+                            [320, 240]], np.float32)
+        dst[:5] = project(h, src[:5])
+        mask = np.zeros(64, bool)
+        mask[:5] = True
+        res = find_homography(jnp.asarray(src), jnp.asarray(dst),
+                              jnp.asarray(mask),
+                              config=HomographyConfig(num_hypotheses=64))
+        assert int(res.num_inliers) == 5
+        err = project(np.asarray(res.h), src[:5]) - dst[:5]
+        assert np.abs(err).max() < 1.0
+
+    def test_colinear_sample_rejected(self):
+        from compv_tpu.calib.homography import _quad_nondegenerate
+        colinear = jnp.asarray([[0., 0.], [10., 10.], [20., 20.], [5., 80.]])
+        good = jnp.asarray([[0., 0.], [100., 0.], [100., 100.], [0., 100.]])
+        assert not bool(_quad_nondegenerate(colinear))
+        assert bool(_quad_nondegenerate(good))
+
+    def test_generic_ransac_distinct(self):
+        """Generic RANSAC with 2 valid points out of 50 must fit the exact
+        line through them."""
+        pts = np.zeros((50, 2), np.float32)
+        pts[0] = [0, 5]
+        pts[1] = [10, 5]
+        mask = np.zeros(50, bool)
+        mask[:2] = True
+
+        def build(sub):
+            p, q = sub[0], sub[1]
+            d = q - p
+            nvec = jnp.stack([-d[1], d[0]])
+            nvec = nvec / jnp.maximum(jnp.linalg.norm(nvec), 1e-9)
+            return jnp.concatenate([nvec, -jnp.dot(nvec, p)[None]])
+
+        def resid(m, p):
+            return jnp.abs(p @ m[:2] + m[2])
+
+        res = ransac(jnp.asarray(pts), build, resid, jnp.asarray(mask),
+                     RansacConfig(num_hypotheses=32, min_model_points=2,
+                                  threshold=0.5))
+        assert int(res.num_inliers) == 2
