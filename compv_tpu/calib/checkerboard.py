@@ -111,7 +111,10 @@ def find_chessboard_corners(img: jax.Array,
     n_lines_cap = 8 * (config.rows + config.cols)
     lines = hough_sht(edges, HoughShtConfig(
         threshold=config.hough_threshold, max_lines=n_lines_cap,
-        theta_step_deg=1.0))
+        theta_step_deg=1.0,
+        # board edges are sparse line segments — 16k is ample and keeps the
+        # accumulate small; overflow keeps strongest edges anyway
+        max_edge_points=16384))
 
     # two dominant theta families: weighted circular histogram over theta
     nbins = 36

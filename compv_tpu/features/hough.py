@@ -29,8 +29,8 @@ from compv_tpu.core.types import Lines
 from compv_tpu.ops.bincount import batched_weighted_bincount
 from compv_tpu.ops.topk import select_top_k_2d
 
-__all__ = ["HoughShtConfig", "hough_sht", "hough_lines_to_cartesian",
-           "HoughKhtConfig", "hough_kht"]
+__all__ = ["HoughShtConfig", "hough_sht", "hough_sht_stats",
+           "hough_lines_to_cartesian", "HoughKhtConfig", "hough_kht"]
 
 
 @dataclass(frozen=True)
@@ -41,15 +41,27 @@ class HoughShtConfig:
                                  # values < 1.0 mean a fraction of the peak
                                  # accumulator value (scale-invariant mode)
     max_lines: int = 64          # fixed output capacity
-    max_edge_points: int = 16384  # fixed edge-list capacity
+    max_edge_points: int = 131072  # fixed edge-list capacity — covers ~14%
+                                   # edge density at 720p (a dense Canny map
+                                   # is 3-8%); the extraction sort cost is
+                                   # k-independent, so headroom is cheap.
+                                   # If exceeded, the STRONGEST edges are
+                                   # kept (never an arbitrary subset) and
+                                   # hough_sht_stats reports truncation.
 
 
-def _edge_list(edges: jax.Array, capacity: int):
-    """Top-`capacity` edge pixels (all nonzero if they fit). Returns
+def _edge_list(edges: jax.Array, capacity: int,
+               strengths: jax.Array | None = None):
+    """All edge pixels if they fit in `capacity`, else the `capacity`
+    strongest (ranked by `strengths` when given, e.g. gradient magnitude;
+    binary maps rank by the map itself). Exact top-k: the reference
+    accumulates every edge pixel (houghsht.cxx:350), so the extraction must
+    never drop edges below capacity — approx_max_k could. Returns
     (x, y, valid)."""
     h, w = edges.shape
     k = min(capacity, h * w)
-    vals, idx = select_top_k_2d(edges, k)
+    rank = edges if strengths is None else jnp.where(edges > 0, strengths, 0)
+    vals, idx = select_top_k_2d(rank, k, exact=True)
     valid = vals > 0
     return (idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32), valid
 
@@ -107,25 +119,40 @@ def _acc_nms_topk(acc: jax.Array, threshold: float, max_lines: int,
 
 
 @partial(jax.jit, static_argnames=("config", "shape"))
-def _hough_sht_impl(edges, config: HoughShtConfig, shape):
+def _hough_sht_impl(edges, strengths, config: HoughShtConfig, shape):
     h, w = shape
     theta_step = float(np.deg2rad(config.theta_step_deg))
     n_theta = int(np.round(np.pi / theta_step))
     rho_max = float(np.hypot(h, w))
-    x, y, valid = _edge_list(edges, config.max_edge_points)
+    x, y, valid = _edge_list(edges, config.max_edge_points, strengths)
     weights = jnp.ones_like(x)
     acc, _ = _accumulate(x, y, valid, weights, n_theta, rho_max,
                          config.rho, theta_step)
     thr = (jnp.asarray(config.threshold, jnp.float32) if config.threshold >= 1.0
            else config.threshold * jnp.max(acc))
-    return _acc_nms_topk(acc, thr, config.max_lines,
-                         rho_max, config.rho, theta_step)
+    lines = _acc_nms_topk(acc, thr, config.max_lines,
+                          rho_max, config.rho, theta_step)
+    n_edges = jnp.sum(edges > 0)
+    return lines, n_edges
 
 
-def hough_sht(edges: jax.Array, config: HoughShtConfig = HoughShtConfig()
-              ) -> Lines:
-    """Standard Hough transform on a binary edge map (u8, nonzero=edge)."""
-    return _hough_sht_impl(edges, config, edges.shape)
+def hough_sht(edges: jax.Array, config: HoughShtConfig = HoughShtConfig(),
+              strengths: jax.Array | None = None) -> Lines:
+    """Standard Hough transform on a binary edge map (u8, nonzero=edge).
+    Optional `strengths` (e.g. gradient magnitude) ranks edge retention if
+    the map overflows config.max_edge_points."""
+    return _hough_sht_impl(edges, strengths, config, edges.shape)[0]
+
+
+def hough_sht_stats(edges: jax.Array,
+                    config: HoughShtConfig = HoughShtConfig(),
+                    strengths: jax.Array | None = None):
+    """Like hough_sht but also returns accumulation stats so vote loss is
+    never silent: dict(n_edges, capacity, truncated)."""
+    lines, n_edges = _hough_sht_impl(edges, strengths, config, edges.shape)
+    n = int(n_edges)
+    return lines, {"n_edges": n, "capacity": config.max_edge_points,
+                   "truncated": n > config.max_edge_points}
 
 
 def hough_lines_to_cartesian(lines: Lines, width: int, height: int):
@@ -164,7 +191,10 @@ def _hough_kht_impl(edges, gx, gy, config: HoughKhtConfig, shape):
     rho_max = float(np.hypot(h, w))
     n_rho = int(np.ceil(2 * rho_max / config.rho)) + 1
 
-    x, y, valid = _edge_list(edges, config.max_edge_points)
+    # rank edge retention by gradient magnitude: if the map overflows
+    # capacity, the strongest (most KHT-significant) edges survive — the
+    # dense analogue of KHT's "significant kernels only" pruning
+    x, y, valid = _edge_list(edges, config.max_edge_points, gx * gx + gy * gy)
     xi = x.astype(jnp.int32)
     yi = y.astype(jnp.int32)
     # orientation tensor (structure tensor) is sign-invariant — the right
