@@ -151,3 +151,179 @@ class TestHog:
         d_d = np.asarray(hog_descriptor(jnp.asarray(diag), HogConfig(norm="none"))
                          ).reshape(-1, 9).sum(0)
         assert d_v.argmax() != d_d.argmax()
+
+
+class TestMserFidelity:
+    """Acceptance vs a full-resolution SEQUENTIAL oracle (the reference's
+    LMSER semantics: one-sided variation at +delta, local-min stability,
+    min-diversity pruning — lmser_result.h:91-199), bounding the divergence
+    introduced by the TPU ladder sampling."""
+
+    @staticmethod
+    def _oracle(img, delta=5, min_area=0.0002, max_area=0.5,
+                max_variation=0.5, min_diversity=0.5):
+        from scipy import ndimage
+        h, w = img.shape
+        n = h * w
+        idx = np.arange(n).reshape(h, w)
+        struct = np.ones((3, 3), bool)  # 8-connectivity
+        # per-level: root (min flat index) + area of component containing
+        # every pixel
+        root_of_pix = np.full((256, n), -1, np.int64)
+        area_of_pix = np.zeros((256, n), np.int64)
+        for t in range(256):
+            m = img <= t
+            lab, _ = ndimage.label(m, structure=struct)
+            flat = lab.ravel()
+            if lab.max() == 0:
+                continue
+            roots = ndimage.minimum(idx.ravel(), flat, np.arange(1, lab.max() + 1))
+            areas = np.bincount(flat)[1:]
+            root_of_pix[t][m.ravel()] = roots[flat[m.ravel()] - 1]
+            area_of_pix[t][m.ravel()] = areas[flat[m.ravel()] - 1]
+        # nodes: (t, root) first appearances (distinct root+area runs)
+        regions = []
+        for t in range(256):
+            roots = np.unique(root_of_pix[t][root_of_pix[t] >= 0])
+            for r in roots:
+                a = area_of_pix[t][r]
+                if root_of_pix[t - 1][r] == r and area_of_pix[t - 1][r] == a \
+                        if t > 0 else False:
+                    continue  # same node as previous level
+                tp = min(t + delta, 255)
+                ap = area_of_pix[tp][r]
+                var = (ap - a) / a
+                regions.append({"t": t, "root": r, "area": a, "var": var})
+        # stability: local min of var along the chain through the seed
+        by_key = {(rg["t"], rg["root"]): rg for rg in regions}
+        stable = []
+        for rg in regions:
+            t, r, a = rg["t"], rg["root"], rg["area"]
+            if not (min_area * n <= a <= max_area * n
+                    and rg["var"] <= max_variation):
+                continue
+            # parent: next level where the containing component differs
+            var_up = None
+            for tu in range(t + 1, 256):
+                ru, au = root_of_pix[tu][r], area_of_pix[tu][r]
+                if ru != r or au != a:
+                    g = by_key.get((tu, ru))
+                    if g is not None:
+                        var_up = g["var"]
+                    break
+            var_dn = None
+            for td in range(t - 1, -1, -1):
+                rd = root_of_pix[td][r]
+                if rd < 0:
+                    break
+                if rd != r or area_of_pix[td][rd] != a:
+                    g = by_key.get((td, rd))
+                    if g is not None:
+                        var_dn = g["var"]
+                    break
+            if (var_up is None or rg["var"] <= var_up) and \
+               (var_dn is None or rg["var"] <= var_dn):
+                stable.append(rg)
+        # min-diversity greedy collect, most stable first
+        stable.sort(key=lambda g: g["var"])
+        out = []
+        for rg in stable:
+            dup = False
+            for kept in out:
+                t_hi, g_lo = (rg, kept) if rg["t"] >= kept["t"] else (kept, rg)
+                nested = root_of_pix[t_hi["t"]][g_lo["root"]] == t_hi["root"]
+                rel = abs(rg["area"] - kept["area"]) / max(rg["area"],
+                                                           kept["area"])
+                if nested and rel < min_diversity:
+                    dup = True
+                    break
+            if not dup:
+                ys, xs = np.nonzero(
+                    root_of_pix[rg["t"]].reshape(img.shape) == rg["root"])
+                rg["box"] = (xs.min(), ys.min(), xs.max(), ys.max())
+                out.append(rg)
+        return out
+
+    @pytest.fixture(scope="class")
+    def blob_img(self):
+        img = np.full((96, 96), 230, np.uint8)
+        img[10:30, 10:40] = 40                 # blob A
+        img[50:80, 50:86] = 100                # blob B (outer)
+        img[58:72, 58:78] = 30                 # blob B (nested inner)
+        return img
+
+    def test_matches_sequential_oracle(self, blob_img):
+        cfg = MserConfig(level_step=4)
+        res = mser_detect(jnp.asarray(blob_img), cfg)
+        v = np.asarray(res.valid)
+        ours = np.stack([np.asarray(res.box_x0)[v], np.asarray(res.box_y0)[v],
+                         np.asarray(res.box_x1)[v], np.asarray(res.box_y1)[v]],
+                        1)
+        oracle = self._oracle(blob_img, delta=cfg.delta,
+                              min_area=cfg.min_area, max_area=cfg.max_area,
+                              max_variation=cfg.max_variation,
+                              min_diversity=cfg.min_diversity)
+        assert len(oracle) >= 2
+
+        def iou(a, b):
+            ix = max(0, min(a[2], b[2]) - max(a[0], b[0]) + 1)
+            iy = max(0, min(a[3], b[3]) - max(a[1], b[1]) + 1)
+            inter = ix * iy
+            aa = (a[2] - a[0] + 1) * (a[3] - a[1] + 1)
+            ab = (b[2] - b[0] + 1) * (b[3] - b[1] + 1)
+            return inter / (aa + ab - inter)
+
+        # every oracle region must be recovered (IoU >= 0.6) — the ladder
+        # sampling may add/miss borderline duplicates but not real regions
+        matched = sum(1 for g in oracle
+                      if any(iou(g["box"], b) >= 0.6 for b in ours))
+        assert matched == len(oracle), (oracle, ours)
+        # and the counts stay within 2x (bounded divergence)
+        assert v.sum() <= 2 * len(oracle) + 2
+
+    def test_delta_semantics(self):
+        """A region whose area grows steadily with threshold has variation
+        proportional to delta — large delta must reject it (the r1 dead
+        `delta` knob regression)."""
+        h = w = 96
+        yy, xx = np.mgrid[0:h, 0:w]
+        rad = np.hypot(yy - 48, xx - 48)
+        # disk whose radius grows ~1px per 8 gray levels
+        img = np.clip(40 + (rad * 8), 0, 230).astype(np.uint8)
+        res_small = mser_detect(jnp.asarray(img),
+                                MserConfig(delta=2, level_step=2,
+                                           max_variation=0.6))
+        res_big = mser_detect(jnp.asarray(img),
+                              MserConfig(delta=48, level_step=2,
+                                         max_variation=0.6))
+        assert int(res_small.count()) > int(res_big.count())
+
+    def test_min_diversity(self):
+        """Nested regions with similar areas collapse under high
+        min_diversity and both survive under low."""
+        img = np.full((64, 64), 220, np.uint8)
+        img[15:47, 15:47] = 90     # outer 32x32
+        img[16:46, 16:46] = 40     # inner 30x30 (rel area diff ~0.12)
+        hi = mser_detect(jnp.asarray(img),
+                         MserConfig(min_diversity=0.5, level_step=4))
+        lo = mser_detect(jnp.asarray(img),
+                         MserConfig(min_diversity=0.05, level_step=4))
+        assert int(lo.count()) > int(hi.count())
+
+    def test_region_points(self):
+        from compv_tpu.features.mser import mser_region_mask, mser_region_points
+        img = np.full((48, 48), 200, np.uint8)
+        img[10:20, 12:30] = 50
+        res = mser_detect(jnp.asarray(img), MserConfig(level_step=4))
+        v = np.asarray(res.valid)
+        assert v.sum() >= 1
+        i = int(np.nonzero(v)[0][0])
+        mask = mser_region_mask(jnp.asarray(img), int(res.seed_x[i]),
+                                int(res.seed_y[i]), int(res.level[i]))
+        m = np.asarray(mask)
+        assert m.sum() == int(res.area[i])
+        xs, ys, pv = mser_region_points(mask, max_points=512)
+        pts = set(zip(np.asarray(xs)[np.asarray(pv)].tolist(),
+                      np.asarray(ys)[np.asarray(pv)].tolist()))
+        my, mx = np.nonzero(m)
+        assert pts == set(zip(mx.tolist(), my.tolist()))
