@@ -33,13 +33,23 @@ class VideoReader:
 
 
 class RawYuvReader(VideoReader):
+    """Raw frame file reader driven by the native PrefetchLoader: the C++
+    IO thread reads frame t+1 while frame t computes (reference overlaps
+    capture and compute the same way, samples/object_recognition)."""
+
     def __init__(self, path: str, width: int | None = None,
-                 height: int | None = None, gray: bool = True):
+                 height: int | None = None, gray: bool = True,
+                 reuse_buffers: bool = False):
         if width is None or height is None:
             width, height = parse_raw_filename(path)
         self.path = path
         self.w, self.h = width, height
         self.gray = gray
+        # reuse_buffers: stage frames in the native AlignedPool and recycle
+        # each buffer once the consumer advances (streaming-borrow contract,
+        # like the reference's recycled capture buffers) — do not retain
+        # yielded frames across iterations in this mode
+        self.reuse_buffers = reuse_buffers
         self.frame_bytes = width * height if gray else width * height * 3 // 2
         self.n = os.path.getsize(path) // self.frame_bytes
 
@@ -47,14 +57,21 @@ class RawYuvReader(VideoReader):
         return self.n
 
     def __iter__(self):
-        with open(self.path, "rb") as f:
-            for _ in range(self.n):
-                buf = np.frombuffer(f.read(self.frame_bytes), np.uint8)
+        from compv_tpu.native_rt import AlignedPool, PrefetchLoader
+        pool = AlignedPool() if self.reuse_buffers else None
+        loader = PrefetchLoader(self.path, 1, self.frame_bytes, pool=pool)
+        try:
+            for buf in loader:
+                flat = buf.ravel()
                 if self.gray:
-                    yield buf.reshape(self.h, self.w)
+                    yield flat.reshape(self.h, self.w)
                 else:
-                    y = buf[: self.w * self.h].reshape(self.h, self.w)
-                    yield y  # chroma available via read_raw if needed
+                    yield flat[: self.w * self.h].reshape(self.h, self.w)
+                loader.release(buf)   # consumer advanced; recycle staging
+        finally:
+            loader.close()
+            if pool is not None:
+                pool.close()
 
 
 class ImageSequenceReader(VideoReader):
@@ -70,6 +87,26 @@ class ImageSequenceReader(VideoReader):
     def __iter__(self):
         for p in self.paths:
             yield read_image(p)
+
+    def read_batch(self, start: int = 0, count: int | None = None,
+                   executor=None) -> list:
+        """Decode a batch of frames in parallel on the native fork-join
+        Executor (host-side batch decode feeding device pipelines)."""
+        from compv_tpu.native_rt import Executor
+        paths = self.paths[start: None if count is None else start + count]
+        out = [None] * len(paths)
+
+        def work(b, e):
+            for i in range(b, e):
+                out[i] = read_image(paths[i])
+
+        ex = executor or Executor()
+        try:
+            ex.parallel_for(work, 0, len(paths))
+        finally:
+            if executor is None:
+                ex.close()
+        return out
 
 
 class GifReader(VideoReader):

@@ -136,12 +136,14 @@ class PrefetchLoader:
     thread while the previous frame computes."""
 
     def __init__(self, path: str, height: int, width: int, channels: int = 1,
-                 depth: int = 4, loop: bool = False):
+                 depth: int = 4, loop: bool = False,
+                 pool: "AlignedPool | None" = None):
         self.shape = (height, width) if channels == 1 else (height, width, channels)
         self.frame_bytes = int(np.prod(self.shape))
         self._lib = _load()
         self._h = None
         self._py = None
+        self._pool = pool
         if self._lib:
             self._h = self._lib.compv_loader_open(
                 path.encode(), self.frame_bytes, depth, int(loop))
@@ -157,8 +159,15 @@ class PrefetchLoader:
             return int(self._lib.compv_loader_num_frames(self._h))
         return self._py_frames
 
+    def release(self, frame: np.ndarray) -> None:
+        """Return a frame's staging buffer to the pool (no-op without one).
+        Only call once the frame's data is consumed (e.g. on device)."""
+        if self._pool is not None:
+            self._pool.release(frame.ravel())
+
     def next(self) -> np.ndarray | None:
-        buf = np.empty(self.frame_bytes, np.uint8)
+        buf = (self._pool.alloc(self.frame_bytes) if self._pool is not None
+               else np.empty(self.frame_bytes, np.uint8))
         if self._h:
             idx = self._lib.compv_loader_next(
                 self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))

@@ -1,0 +1,92 @@
+"""Generate goldens/goldens.json — the cross-round regression net.
+
+The reference's whole test philosophy is golden values checked into the
+tree: FAST count/Σstrength/Σx/Σy tables (unittests/feature_fast.cxx:18-60)
+and MD5s of output buffers (tests/tests_common.cxx:98-116). This script
+locks the same style of values for the TPU framework on the CPU backend
+(the deterministic test platform); tests/test_goldens.py asserts them.
+
+Regenerate ONLY when an intentional semantic change is made:
+    python scripts/make_goldens.py
+and review the diff — every changed hash is a behavior change.
+"""
+import json
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from compv_tpu.core.golden import keypoint_summary, quantized_hash  # noqa: E402
+from compv_tpu.native_rt import md5_mat  # noqa: E402
+from tests.fixtures import make_test_image, make_test_rgb  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "goldens", "goldens.json")
+
+
+def build() -> dict:
+    from compv_tpu.calib.homography import HomographyConfig, find_homography
+    from compv_tpu.features.fast import FastConfig, fast_detect
+    from compv_tpu.image.color import rgb_to_gray, rgb_to_hsv
+    from compv_tpu.image.integral import integral
+    from compv_tpu.image.morph import dilate, erode
+    from compv_tpu.image.scale import scale_bilinear
+    from compv_tpu.image.threshold import otsu_value, threshold_otsu
+
+    gray = jnp.asarray(make_test_image())
+    rgb = jnp.asarray(make_test_rgb())
+    g = {}
+
+    # --- FAST golden tuples (reference: unittests/feature_fast.cxx:31-41)
+    for n, thr, nms in [(9, 20, True), (9, 20, False), (12, 40, True),
+                        (9, 40, True)]:
+        kp = fast_detect(gray, FastConfig(threshold=thr, n=n, nms=nms,
+                                          max_features=8192))
+        g[f"fast{n}_thr{thr}_nms{int(nms)}"] = keypoint_summary(kp)
+
+    # --- image ops: exact MD5 of integer outputs (native md5_mat — the
+    # reference's compv_tests_md5 analogue)
+    g["md5_to_gray"] = md5_mat(np.asarray(rgb_to_gray(rgb)))
+    g["md5_rgb_to_hsv"] = md5_mat(np.asarray(rgb_to_hsv(rgb)))
+    g["md5_scale_bilinear_299x401"] = md5_mat(
+        np.asarray(scale_bilinear(gray, 299, 401)))
+    binary = threshold_otsu(gray)[0]
+    g["md5_erode_3x3"] = md5_mat(np.asarray(erode(binary)))
+    g["md5_dilate_3x3"] = md5_mat(np.asarray(dilate(binary)))
+    g["md5_integral"] = md5_mat(
+        np.asarray(integral(gray, jnp.float64)).astype(np.int64))
+    g["otsu_value"] = int(otsu_value(gray))
+
+    # --- estimation: quantized hash + values of a RANSAC homography on a
+    # deterministic correspondence set with outliers
+    rs = np.random.default_rng(11)
+    src = rs.uniform(20, 400, (200, 2)).astype(np.float32)
+    h_true = np.array([[0.95, 0.08, 12.0], [-0.06, 1.02, -7.0],
+                       [1e-4, -8e-5, 1.0]], np.float32)
+    p = np.concatenate([src, np.ones((200, 1), np.float32)], 1) @ h_true.T
+    dst = (p[:, :2] / p[:, 2:]).astype(np.float32)
+    dst[150:] += rs.uniform(40, 90, (50, 2)).astype(np.float32)  # outliers
+    res = find_homography(jnp.asarray(src), jnp.asarray(dst),
+                          jnp.ones(200, bool),
+                          HomographyConfig(num_hypotheses=256))
+    hm = np.asarray(res.h) / np.asarray(res.h)[2, 2]
+    g["homography_hash_q2"] = quantized_hash(hm, decimals=2)
+    g["homography_inliers"] = int(res.num_inliers)
+    return g
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    goldens = build()
+    with open(OUT, "w") as f:
+        json.dump(goldens, f, indent=1, sort_keys=True)
+    print(f"wrote {OUT}:")
+    print(json.dumps(goldens, indent=1, sort_keys=True))

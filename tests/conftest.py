@@ -29,29 +29,19 @@ def rng():
     return np.random.default_rng(42)
 
 
+from tests.fixtures import make_test_image, make_test_rgb  # noqa: E402
+
+
 @pytest.fixture(scope="session")
 def test_image():
     """Deterministic synthetic 8-bit grayscale test image (no binary fixtures
     in-repo; the reference ships .yuv files, we synthesize an equally rich
-    scene: gradient + blobs + corners + noise)."""
-    h, w = 360, 480
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    img = 96 + 48 * np.sin(xx / 17.0) + 40 * np.cos(yy / 23.0)
-    # checkerboard patch (strong corners)
-    ch = ((xx // 24).astype(int) + (yy // 24).astype(int)) % 2
-    img = np.where((xx > 120) & (xx < 360) & (yy > 90) & (yy < 270),
-                   ch * 200.0 + 20, img)
-    rs = np.random.default_rng(7)
-    img = img + rs.normal(0, 2.0, img.shape)
-    return np.clip(img, 0, 255).astype(np.uint8)
+    scene: gradient + blobs + corners + noise). Shared with the golden
+    generator via tests/fixtures.py."""
+    return make_test_image()
 
 
 @pytest.fixture(scope="session")
 def test_rgb(test_image):
     """RGB version with colored gradients."""
-    h, w = test_image.shape
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    r = test_image
-    g = np.clip(255 * xx / w, 0, 255).astype(np.uint8)
-    b = np.clip(255 * yy / h, 0, 255).astype(np.uint8)
-    return np.stack([r, g, b], axis=-1)
+    return make_test_rgb(test_image)
