@@ -4,10 +4,15 @@ The reference is single-node (SURVEY.md §2.6); this layer is the new part.
 Patterns (scaling-book style):
   * frames sharded over the mesh "frame" axis, shard_map'd per-frame ORB
     (data parallelism — replaces the thread pool's frame-level task split);
-  * cross-shard all-pairs matching via all_gather of descriptor blocks
-    (ring/ppermute variant available for very large sets);
-  * distributed BA: observations sharded, shard-local residual/J products,
-    psum'd camera system (slam/ba.py with psum_axis).
+  * cross-shard all-pairs matching via all_gather of descriptor blocks, or
+    the ring variant (ring_all_pairs_match): descriptor blocks travel the
+    ring via lax.ppermute so per-step memory is one block instead of the
+    full gathered set — ring attention over keyframes (SURVEY.md §5);
+  * distributed BA: observations sharded, shard-local residual/J products;
+    either psum'd (replicated CG state, slam/ba.py psum_axis) or
+    reduce-scattered (CG state sharded over the mesh: all_gather(v) before
+    J v, psum_scatter(Jt u) after — halves live parameter memory per chip,
+    ba_step_reduce_scatter).
 """
 from __future__ import annotations
 
@@ -22,9 +27,11 @@ from compv_tpu.features.fast import FastConfig, _nms_f32, _strengths_f32
 from compv_tpu.features.orb import brief_describe, patch_orientation
 from compv_tpu.matchers.bruteforce import hamming_distance_matrix
 from compv_tpu.ops.conv import gaussian_blur
-from compv_tpu.slam.ba import BAConfig, BAProblem, ba_step
+from compv_tpu.slam.ba import (BAConfig, BAProblem, ba_step,
+                               ba_step_reduce_scatter)
 
-__all__ = ["sharded_detect", "sharded_all_pairs_match", "distributed_ba_solve",
+__all__ = ["sharded_detect", "sharded_all_pairs_match",
+           "ring_all_pairs_match", "distributed_ba_solve",
            "make_distributed_ba_step"]
 
 
@@ -70,20 +77,9 @@ def sharded_all_pairs_match(desc: jax.Array, valid: jax.Array, mesh: Mesh):
     def run(local_desc, local_valid):
         all_desc = jax.lax.all_gather(local_desc, "frame", tiled=True)
         all_valid = jax.lax.all_gather(local_valid, "frame", tiled=True)
-        fl, k, b = local_desc.shape
-        ft = all_desc.shape[0]
-
-        def one_pair(d1, v1, d2, v2):
-            dist = hamming_distance_matrix(d1, d2)          # (K, K)
-            big = jnp.int32(1 << 30)
-            dist = jnp.where(v2[None, :], dist, big)
-            mins = jnp.min(dist, axis=1)
-            mins = jnp.where(v1 & (mins < big), mins, 0)
-            cnt = jnp.maximum(jnp.sum(v1 & (jnp.min(dist, axis=1) < big)), 1)
-            return jnp.sum(mins).astype(jnp.float32) / cnt.astype(jnp.float32)
 
         def one_local(d1, v1):
-            return jax.vmap(lambda d2, v2: one_pair(d1, v1, d2, v2))(
+            return jax.vmap(lambda d2, v2: _pair_sim(d1, v1, d2, v2))(
                 all_desc, all_valid)
 
         return jax.vmap(one_local)(local_desc, local_valid)  # (fl, ft)
@@ -91,10 +87,64 @@ def sharded_all_pairs_match(desc: jax.Array, valid: jax.Array, mesh: Mesh):
     return run(desc, valid)
 
 
-def make_distributed_ba_step(mesh: Mesh, cfg: BAConfig = BAConfig()):
+def _pair_sim(d1, v1, d2, v2):
+    """Mean-of-min Hamming distance between two descriptor sets."""
+    dist = hamming_distance_matrix(d1, d2)          # (K, K)
+    big = jnp.int32(1 << 30)
+    dist = jnp.where(v2[None, :], dist, big)
+    mins = jnp.min(dist, axis=1)
+    mins = jnp.where(v1 & (mins < big), mins, 0)
+    cnt = jnp.maximum(jnp.sum(v1 & (jnp.min(dist, axis=1) < big)), 1)
+    return jnp.sum(mins).astype(jnp.float32) / cnt.astype(jnp.float32)
+
+
+def ring_all_pairs_match(desc: jax.Array, valid: jax.Array, mesh: Mesh):
+    """ring_all_pairs_match == sharded_all_pairs_match, exchanged over a
+    ppermute RING instead of all_gather (SURVEY.md §5 'ring-style ppermute
+    exchange of descriptor blocks'): at step s every device matches its
+    local frames against the block that originated s hops down the ring,
+    then passes the block to its right neighbor. Peak comm memory is ONE
+    block instead of the full (F, K, B) gathered set, so keyframe stores
+    larger than a chip's spare HBM still match all-pairs."""
+    n_dev = mesh.devices.size
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("frame"), P("frame")),
+             out_specs=P("frame"))
+    def run(local_desc, local_valid):
+        my = jax.lax.axis_index("frame")
+        fl = local_desc.shape[0]
+        ft = fl * n_dev
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def one_block(d1, v1, blk_d, blk_v):
+            return jax.vmap(lambda d2, v2: _pair_sim(d1, v1, d2, v2))(
+                blk_d, blk_v)
+
+        out = jnp.zeros((fl, ft), jnp.float32)
+        blk_d, blk_v = local_desc, local_valid
+        for step in range(n_dev):
+            # the block now held originated at device (my - step) mod n_dev
+            src = (my - step) % n_dev
+            cols = jax.vmap(lambda d1, v1: one_block(d1, v1, blk_d, blk_v))(
+                local_desc, local_valid)             # (fl, fl)
+            out = jax.lax.dynamic_update_slice(out, cols, (0, src * fl))
+            if step + 1 < n_dev:
+                blk_d = jax.lax.ppermute(blk_d, "frame", perm)
+                blk_v = jax.lax.ppermute(blk_v, "frame", perm)
+        return out
+
+    return run(desc, valid)
+
+
+def make_distributed_ba_step(mesh: Mesh, cfg: BAConfig = BAConfig(),
+                             mode: str = "psum"):
     """Returns a jitted distributed BA step: parameters replicated,
-    observations sharded over "frame"; one damped-GN step with psum'd
-    camera-system products."""
+    observations sharded over "frame"; one damped-GN step.
+
+    mode="psum": every J/Jt product psum'd, CG state replicated
+    (slam/ba.py ba_step). mode="reduce_scatter": CG state sharded over the
+    mesh, all_gather/psum_scatter around each matvec (ba_step_reduce_scatter
+    — same collective volume, 1/D parameter memory per chip)."""
     param_spec = BAProblem(
         cameras=P(), landmarks=P(), intrinsics=P(),
         cam_idx=P("frame"), lm_idx=P("frame"), uv=P("frame"),
@@ -104,6 +154,8 @@ def make_distributed_ba_step(mesh: Mesh, cfg: BAConfig = BAConfig()):
              in_specs=(param_spec, P()),
              out_specs=(param_spec, P(), P()))
     def step(prob, lam):
+        if mode == "reduce_scatter":
+            return ba_step_reduce_scatter(prob, lam, cfg, axis="frame")
         return ba_step(prob, lam, cfg, psum_axis="frame")
 
     return jax.jit(step)

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["BAProblem", "BAConfig", "rodrigues_to_matrix", "matrix_to_rodrigues",
-           "project_points", "ba_residuals", "ba_solve", "ba_step", "reproj_rmse"]
+           "project_points", "ba_residuals", "ba_solve", "ba_step",
+           "ba_step_reduce_scatter", "reproj_rmse"]
 
 
 # ----------------------------------------------------------------- rotations
@@ -238,6 +239,93 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     cams, lms = _unflatten(x_new, f, l)
     new_prob = prob._replace(cameras=cams, landmarks=lms)
     return new_prob, lam_new, cost
+
+
+def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
+                           axis: str):
+    """One damped-GN step with the CG state SHARDED over ``axis`` — the
+    reduce_scatter variant of ba_step(psum_axis=...) (scaling-book pattern:
+    all_gather(v) before J v, psum_scatter(Jt u) after). Each device holds
+    1/D of the parameter vector during CG, so the live parameter memory per
+    chip shrinks by the mesh size; the psum of ba_step is decomposed into
+    its reduce_scatter + all_gather halves around the matvec. Must be traced
+    inside shard_map with observations sharded along ``axis``. Bit-parity
+    with ba_step is NOT exact (different reduction orders); tests bound the
+    divergence."""
+    f = prob.cameras.shape[0]
+    l = prob.landmarks.shape[0]
+    dtype = prob.cameras.dtype
+    mask = _gauge_mask(f, l, cfg, dtype)
+    n = f * 6 + l * 3
+    d = jax.lax.axis_size(axis)
+    pad = -n % d
+    chunk = (n + pad) // d
+    my = jax.lax.axis_index(axis)
+
+    def res_flat(x):
+        cams, lms = _unflatten(x, f, l)
+        return ba_residuals(cams, lms, prob).ravel()
+
+    def pad_v(v):
+        return jnp.concatenate([v, jnp.zeros(pad, dtype)]) if pad else v
+
+    def shard_of(v_full):
+        return jax.lax.dynamic_slice(pad_v(v_full), (my * chunk,), (chunk,))
+
+    x0 = _flatten(prob.cameras, prob.landmarks)
+    r0 = res_flat(x0)
+    cost = jax.lax.psum(jnp.sum(r0 * r0), axis)
+    _, vjp_fn = jax.vjp(res_flat, x0)
+
+    def gather_full(v_shard):
+        """Shard -> full replicated vector, INVARIANT over the axis: psum of
+        the shard placed at its offset (same collective volume as
+        all_gather, but the result is replicated-typed so downstream gather
+        indexing and the out_specs stay invariant under shard_map's vma
+        checks)."""
+        placed = jax.lax.dynamic_update_slice(
+            jnp.zeros(n + pad, dtype), v_shard, (my * chunk,))
+        return jax.lax.psum(placed, axis)[:n]
+
+    def jtj_mv_shard(v_shard):
+        v_full = gather_full(v_shard)
+        vm = v_full * mask
+        jv = jax.jvp(res_flat, (x0,), (vm,))[1]
+        jtjv_local = vjp_fn(jv)[0] * mask           # partial (local obs)
+        jtjv_shard = jax.lax.psum_scatter(pad_v(jtjv_local), axis, tiled=True)
+        return jtjv_shard + lam * shard_of(vm)
+
+    g_shard = jax.lax.psum_scatter(pad_v(vjp_fn(r0)[0] * mask), axis,
+                                   tiled=True)
+    b = -g_shard
+
+    def pdot(a, c):
+        return jax.lax.psum(jnp.dot(a, c), axis)
+
+    def body_fixed(_, state):
+        x, r, p, rs = state
+        ap = jtj_mv_shard(p)
+        alpha = rs / jnp.maximum(pdot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = pdot(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = r + beta * p
+        return x, r, p, rs_new
+
+    x_sh, _, _, _ = jax.lax.fori_loop(
+        0, cfg.cg_iterations, body_fixed,
+        (jnp.zeros_like(b), b, b, pdot(b, b)))
+
+    dx = gather_full(x_sh)
+    x1 = x0 + dx * mask
+    r1 = res_flat(x1)
+    cost1 = jax.lax.psum(jnp.sum(r1 * r1), axis)
+    improved = cost1 < cost
+    x_new = jnp.where(improved, x1, x0)
+    lam_new = jnp.where(improved, lam * 0.5, lam * 4.0)
+    cams, lms = _unflatten(x_new, f, l)
+    return prob._replace(cameras=cams, landmarks=lms), lam_new, cost
 
 
 @partial(jax.jit, static_argnames=("cfg",))

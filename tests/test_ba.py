@@ -217,3 +217,42 @@ class TestSchurBA:
         np.testing.assert_allclose(np.asarray(dist_prob.cameras),
                                    np.asarray(local_prob.cameras),
                                    rtol=5e-3, atol=5e-4)
+
+
+class TestReduceScatterBA:
+    def test_reduce_scatter_matches_psum(self):
+        """The sharded-CG (all_gather/psum_scatter) BA step must reach the
+        same update as the replicated-CG psum step up to reduction-order
+        noise."""
+        from compv_tpu.parallel.mesh import make_mesh
+        from compv_tpu.parallel.sharded import make_distributed_ba_step
+
+        rs = np.random.default_rng(6)
+        cams, lms, intr, ci, li, uv = make_scene(rs, n_cams=4, n_lms=16)
+        cams_n = (cams + rs.normal(0, 0.01, cams.shape)).astype(np.float32)
+        cams_n[0] = cams[0]
+        lms_n = (lms + rs.normal(0, 0.02, lms.shape)).astype(np.float32)
+        n_obs = len(ci)
+        n_pad = (-n_obs) % 8
+        ci_p = np.concatenate([ci, np.zeros(n_pad, np.int32)])
+        li_p = np.concatenate([li, np.zeros(n_pad, np.int32)])
+        uv_p = np.concatenate([uv, np.zeros((n_pad, 2))]).astype(np.float32)
+        valid = np.concatenate([np.ones(n_obs, bool), np.zeros(n_pad, bool)])
+        prob = BAProblem(jnp.asarray(cams_n), jnp.asarray(lms_n),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci_p),
+                         jnp.asarray(li_p), jnp.asarray(uv_p),
+                         jnp.asarray(valid))
+        cfg = BAConfig(cg_iterations=10)
+        lam = jnp.float32(1e-3)
+        mesh = make_mesh(8)
+
+        p_ps, lam_ps, cost_ps = make_distributed_ba_step(mesh, cfg)(prob, lam)
+        p_rs, lam_rs, cost_rs = make_distributed_ba_step(
+            mesh, cfg, mode="reduce_scatter")(prob, lam)
+
+        np.testing.assert_allclose(float(cost_rs), float(cost_ps), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(p_rs.cameras),
+                                   np.asarray(p_ps.cameras),
+                                   rtol=5e-3, atol=5e-4)
+        # both must actually improve the problem
+        assert float(reproj_rmse(p_rs)) < float(reproj_rmse(prob))

@@ -57,3 +57,17 @@ class TestDistributedHelpers:
         from compv_tpu.parallel.distributed import global_frame_mesh
         m = global_frame_mesh()
         assert m.devices.size == len(jax.devices())
+
+
+class TestRingMatch:
+    def test_ring_equals_all_gather(self, frames):
+        """The ppermute ring exchange must produce the identical all-pairs
+        similarity matrix as the all_gather formulation (SURVEY.md §5 ring
+        descriptor exchange)."""
+        from compv_tpu.parallel.sharded import ring_all_pairs_match
+        mesh = make_mesh(8)
+        _, _, _, valid, desc = sharded_detect(jnp.asarray(frames), mesh,
+                                              max_features=64)
+        ag = np.asarray(sharded_all_pairs_match(desc, valid, mesh))
+        ring = np.asarray(ring_all_pairs_match(desc, valid, mesh))
+        np.testing.assert_allclose(ring, ag, rtol=1e-6, atol=1e-6)
