@@ -111,6 +111,10 @@ class BAConfig:
     damping: float = 1e-3       # initial LM lambda
     optimize_landmarks: bool = True
     optimize_cameras: bool = True
+    robust_delta: float = 0.0   # >0: IRLS Cauchy-like down-weighting of
+                                # observations with residual norm >> delta px
+                                # (weights frozen per GN step, re-derived
+                                # from the step's entry residual)
 
 
 def project_points(cameras: jax.Array, landmarks: jax.Array,
@@ -167,6 +171,21 @@ def _gauge_mask(f: int, l: int, cfg: BAConfig, dtype) -> jax.Array:
     return _flatten(cam_m, lm_m)
 
 
+def _robustify(res_raw, x0, cfg: BAConfig, dtype):
+    """IRLS wrapper: when cfg.robust_delta > 0 the residual function is
+    whitened by Cauchy-like weights w = delta / sqrt(delta^2 + |r|^2)
+    derived from the residuals at the step's entry point x0 and FROZEN
+    (stop_gradient) for the step — the standard IRLS linearization, so
+    jvp/vjp see constant weights."""
+    if cfg.robust_delta <= 0:
+        return res_raw
+    r_entry = jax.lax.stop_gradient(res_raw(x0))
+    r2 = jnp.sum(r_entry.reshape(-1, 2) ** 2, axis=1)
+    d2 = jnp.asarray(cfg.robust_delta, dtype) ** 2
+    w = jnp.repeat(jnp.sqrt(d2 / (d2 + r2)), 2)
+    return lambda x: res_raw(x) * w
+
+
 def _cg(matvec, b, iters: int):
     """Plain conjugate gradient, fixed iteration count (static for XLA)."""
     x0 = jnp.zeros_like(b)
@@ -202,11 +221,12 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     dtype = prob.cameras.dtype
     mask = _gauge_mask(f, l, cfg, dtype)
 
-    def res_flat(x):
+    def res_raw(x):
         cams, lms = _unflatten(x, f, l)
         return ba_residuals(cams, lms, prob).ravel()
 
     x0 = _flatten(prob.cameras, prob.landmarks)
+    res_flat = _robustify(res_raw, x0, cfg, dtype)
     r0 = res_flat(x0)
     cost = jnp.sum(r0 * r0)
     if psum_axis is not None:
@@ -262,7 +282,7 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     chunk = (n + pad) // d
     my = jax.lax.axis_index(axis)
 
-    def res_flat(x):
+    def res_raw(x):
         cams, lms = _unflatten(x, f, l)
         return ba_residuals(cams, lms, prob).ravel()
 
@@ -273,6 +293,7 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
         return jax.lax.dynamic_slice(pad_v(v_full), (my * chunk,), (chunk,))
 
     x0 = _flatten(prob.cameras, prob.landmarks)
+    res_flat = _robustify(res_raw, x0, cfg, dtype)
     r0 = res_flat(x0)
     cost = jax.lax.psum(jnp.sum(r0 * r0), axis)
     _, vjp_fn = jax.vjp(res_flat, x0)

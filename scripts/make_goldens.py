@@ -83,10 +83,38 @@ def build() -> dict:
     return g
 
 
+def build_sfm() -> dict:
+    """SfM trajectory golden (BASELINE.json headline: ATE RMSE). Slower
+    (~30 s), so gated behind --sfm. Writes goldens/sfm.json."""
+    from compv_tpu.slam.evaluate import ate_rmse
+    from compv_tpu.slam.sfm import render_orbit_sequence, run_sfm
+
+    frames, gt, k = render_orbit_sequence(8, 240, 320)
+    res = run_sfm(frames, k)
+    ate = float(ate_rmse(jnp.asarray(res.positions), jnp.asarray(gt),
+                         with_scale=True))
+    return {
+        "sequence": {"n_frames": 8, "h": 240, "w": 320, "seed": 7},
+        "ate_rmse": round(ate, 5),
+        "reproj_after_px": round(res.reproj_after, 4),
+        "num_obs": res.num_obs,
+        "num_tracks": res.num_tracks,
+        "trajectory_span": round(float(np.linalg.norm(gt[-1] - gt[0])), 4),
+    }
+
+
 if __name__ == "__main__":
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    goldens = build()
-    with open(OUT, "w") as f:
-        json.dump(goldens, f, indent=1, sort_keys=True)
-    print(f"wrote {OUT}:")
-    print(json.dumps(goldens, indent=1, sort_keys=True))
+    if "--sfm" in sys.argv:
+        out_sfm = os.path.join(os.path.dirname(OUT), "sfm.json")
+        g = build_sfm()
+        with open(out_sfm, "w") as f:
+            json.dump(g, f, indent=1, sort_keys=True)
+        print(f"wrote {out_sfm}:")
+        print(json.dumps(g, indent=1, sort_keys=True))
+    else:
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        goldens = build()
+        with open(OUT, "w") as f:
+            json.dump(goldens, f, indent=1, sort_keys=True)
+        print(f"wrote {OUT}:")
+        print(json.dumps(goldens, indent=1, sort_keys=True))
