@@ -209,7 +209,7 @@ def main():
         # CCL labeling on the 1122x1182 text image
         # (speed_compare:173-179: 2973 ms / 10k — the 22.3x headline)
         ("ccl_label_text", text_bin,
-         lambda im: u8sum(label_components(im) + 1), 10000 / 2.973),
+         lambda im: u8sum(label_components(im)), 10000 / 2.973),
         # CCL blob features / boxes (speed_compare:181-186: 956 ms / 10k)
         ("ccl_boxes_text", text_bin,
          lambda im: (lambda r: (jnp.sum(r.area).astype(jnp.float32),

@@ -1,16 +1,28 @@
 """Connected-component labeling + blob features, TPU-native.
 
 Reference: CCL-LSL (core/ccl/compv_core_ccl_lsl.cxx:579 — Light Speed
-Labeling: RLE segments + equivalence solving, with lazily computed features:
-boxes / moments / point extraction, lsl_result.cxx; result API
-base/include/compv/base/compv_ccl.h:141-156).
+Labeling: RLE segments + sequential equivalence solving, with lazily
+computed features: boxes / moments / point extraction, lsl_result.cxx;
+result API base/include/compv/base/compv_ccl.h:141-156).
 
-TPU redesign: LSL's sequential equivalence tables become iterative
-label propagation with pointer jumping — labels start as flat indices, each
-round takes the min over the 4/8-neighborhood and then compresses paths by
-label = labels[labels] (log-depth convergence). Everything is dense VPU
-passes + gathers; no data-dependent shapes. Features are fixed-capacity:
-the top-`max_components` components by area, computed with scatter-reduce.
+TPU redesign — three staged solvers, cheapest first, all converging to the
+same fixed point (labels = min flat index per component):
+
+  1. Pallas whole-image-in-VMEM neighbor-min iteration
+     (ops/pallas/ccl_kernel.py) — ~5 us per step at 1122x1182 on v5e, zero
+     HBM traffic per iteration. TPU only.
+  2. XLA segmented run-min sweeps: per iteration, a 4-diagonal min then
+     whole-run min along rows and columns via lax.cummin with a monotone
+     per-run offset (earlier/later runs get offsets >= n so the min never
+     leaks across background). Runs on CPU (tests) and as the TPU fallback
+     precursor.
+  3. Gather-based pointer jumping (label = labels[labels], log-depth) —
+     expensive on TPU (~7 ns/element gathers) but converges on pathological
+     inputs (long snakes) that defeat bounded local propagation; only
+     entered when stage 1/2 report non-convergence.
+
+Features are fixed-capacity: the top-`max_components` components by area,
+computed by per-component masked reductions in compact-id space.
 """
 from __future__ import annotations
 
@@ -21,14 +33,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from compv_tpu.ops.pallas.ccl_kernel import pallas_label
+
 __all__ = ["CclConfig", "CclResult", "label_components", "ccl_features"]
+
+_PALLAS_CAP = 96     # convergence checks in the Pallas stage (2 steps each)
+_SWEEP_CAP = 12      # run-min sweep iterations in the XLA stage
 
 
 @dataclass(frozen=True)
 class CclConfig:
     connectivity: int = 8        # LSL uses 8-connectivity
     max_components: int = 256    # fixed feature capacity
-    max_iterations: int = 64     # propagation rounds (each ~doubles reach)
+    max_iterations: int = 64     # pointer-jumping fallback rounds (log-depth)
 
 
 class CclResult(NamedTuple):
@@ -45,10 +62,65 @@ class CclResult(NamedTuple):
     valid: jax.Array        # (C,) bool
 
 
-def _neighbor_min(lbl: jax.Array, fg: jax.Array, connectivity: int,
-                  big: int) -> jax.Array:
+# --------------------------------------------------------------- stage 2:
+# segmented run-min sweeps (pure XLA)
+
+def _run_min(lbl, fg, axis, big):
+    """Min over each maximal foreground run along `axis` — lax.cummin with
+    direction-matched monotone per-run offsets so background blocks
+    propagation. Requires n * (axis_len/2 + 2) < 2^31."""
+    m = jnp.int32(lbl.shape[0] * lbl.shape[1])
+    prev = jnp.pad(fg, [(1, 0) if a == axis else (0, 0) for a in range(2)])
+    prev = jax.lax.slice_in_dim(prev, 0, fg.shape[axis], axis=axis)
+    start = fg & ~prev.astype(bool)
+    b = jnp.cumsum(start.astype(jnp.int32), axis=axis)
+    rmax = fg.shape[axis] // 2 + 2
+    offs_f = (rmax - b) * m
+    offs_b = b * m
+    # scan sentinel must exceed the largest offset-inflated key (lbl+offs
+    # <= n*(axis/2+2), guarded < 2^30 by the caller) — the stage sentinel
+    # `big` (= n) is smaller than inflated keys and would win the min.
+    sent = jnp.int32(1 << 30)
+    a1 = jax.lax.cummin(jnp.where(fg, lbl + offs_f, sent), axis=axis) - offs_f
+    a2 = jax.lax.cummin(jnp.where(fg, lbl + offs_b, sent), axis=axis,
+                        reverse=True) - offs_b
+    return jnp.where(fg, jnp.minimum(a1, a2), big)
+
+
+def _diag_min(lbl, fg, big):
     h, w = lbl.shape
-    p = jnp.pad(lbl, 1, constant_values=big)
+    p = jnp.pad(lbl, 1, constant_values=1 << 30)
+    mm = lbl
+    for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+        mm = jnp.minimum(mm, jax.lax.dynamic_slice(p, (1 + dy, 1 + dx),
+                                                   (h, w)))
+    return jnp.where(fg, mm, big)
+
+
+def _sweep_stage(lbl, fg, connectivity, big, cap):
+    """Returns (labels, converged)."""
+
+    def body(state):
+        l, _, i = state
+        new = _diag_min(l, fg, big) if connectivity == 8 else l
+        new = _run_min(new, fg, 0, big)
+        new = _run_min(new, fg, 1, big)
+        return new, jnp.any(new != l), i + 1
+
+    def cond(state):
+        return state[1] & (state[2] < cap)
+
+    lbl, changed, _ = jax.lax.while_loop(
+        cond, body, (lbl, jnp.asarray(True), jnp.asarray(0)))
+    return lbl, ~changed
+
+
+# --------------------------------------------------------------- stage 3:
+# pointer jumping (gathers; log-depth; guaranteed convergence)
+
+def _neighbor_min(lbl, fg, connectivity, big):
+    h, w = lbl.shape
+    p = jnp.pad(lbl, 1, constant_values=1 << 30)
     offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
     if connectivity == 8:
         offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
@@ -58,26 +130,12 @@ def _neighbor_min(lbl: jax.Array, fg: jax.Array, connectivity: int,
     return jnp.where(fg, m, big)
 
 
-@partial(jax.jit, static_argnames=("connectivity", "max_iterations"))
-def label_components(binary: jax.Array, connectivity: int = 8,
-                     max_iterations: int = 64) -> jax.Array:
-    """(H, W) u8/bool -> (H, W) i32 labels. Foreground pixels get the min
-    flat-index of their component; background gets -1."""
-    h, w = binary.shape
-    fg = binary > 0
-    big = h * w
-    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + \
-        jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    lbl = jnp.where(fg, idx, big)
-
-    def cond(state):
-        lbl, changed, i = state
-        return changed & (i < max_iterations)
+def _pointer_stage(lbl, fg, connectivity, big, max_iterations):
+    h, w = lbl.shape
 
     def body(state):
-        lbl, _, i = state
-        new = _neighbor_min(lbl, fg, connectivity, big)
-        # pointer jumping: follow the label chain twice (path compression)
+        l, _, i = state
+        new = _neighbor_min(l, fg, connectivity, big)
         flat = new.ravel()
         safe = jnp.minimum(flat, big - 1)
         jumped = jnp.where(flat < big, flat[safe], big)
@@ -85,13 +143,58 @@ def label_components(binary: jax.Array, connectivity: int = 8,
                            jumped)
         new = jnp.minimum(new, jumped.reshape(h, w))
         new = jnp.where(fg, new, big)
-        changed = jnp.any(new != lbl)
-        return new, changed, i + 1
+        return new, jnp.any(new != l), i + 1
 
-    lbl, _, _ = jax.lax.while_loop(cond, body,
-                                   (lbl, jnp.asarray(True), jnp.asarray(0)))
+    def cond(state):
+        return state[1] & (state[2] < max_iterations)
+
+    lbl, _, _ = jax.lax.while_loop(
+        cond, body, (lbl, jnp.asarray(True), jnp.asarray(0)))
+    return lbl
+
+
+@partial(jax.jit, static_argnames=("connectivity", "max_iterations"))
+def label_components(binary: jax.Array, connectivity: int = 8,
+                     max_iterations: int = 64) -> jax.Array:
+    """(H, W) u8/bool -> (H, W) i32 labels. Foreground pixels get the min
+    flat-index of their component; background gets -1."""
+    h, w = binary.shape
+    fg = binary > 0
+    big = jnp.int32(h * w)
+
+    on_tpu = jax.default_backend() == "tpu"
+    # the run-min offset trick needs n * (axis/2 + 2) in i32
+    sweep_ok = h * w * (max(h, w) // 2 + 2) < 2 ** 30
+
+    if on_tpu:
+        raw, iters = pallas_label(binary, connectivity, _PALLAS_CAP)
+        converged = iters < _PALLAS_CAP
+        # common case: kernel output is final (-1 at bg) — keep the
+        # big-form conversion inside the rare unconverged branch only
+
+        def fixup(r):
+            l = jnp.where(fg, r, big)
+            l = _pointer_stage(l, fg, connectivity, big, max_iterations)
+            return jnp.where(fg, l, -1)
+
+        return jax.lax.cond(converged, lambda r: r, fixup, raw)
+
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+    lbl = jnp.where(fg, idx, big)
+    if sweep_ok:
+        lbl, converged = _sweep_stage(lbl, fg, connectivity, big,
+                                      _SWEEP_CAP)
+    else:
+        converged = jnp.asarray(False)
+    lbl = jax.lax.cond(
+        converged, lambda l: l,
+        lambda l: _pointer_stage(l, fg, connectivity, big, max_iterations),
+        lbl)
     return jnp.where(fg, lbl, -1)
 
+
+# --------------------------------------------------------------- features
 
 @partial(jax.jit, static_argnames=("config",))
 def ccl_features(binary: jax.Array, config: CclConfig = CclConfig()
@@ -99,29 +202,36 @@ def ccl_features(binary: jax.Array, config: CclConfig = CclConfig()
     """Label + extract per-component features, top max_components by area
     (reference: boxes/moments computed from the labeling result,
     core/ccl/compv_core_ccl_lsl_result.cxx)."""
-    h, w = binary.shape
-    n = h * w
     lbl = label_components(binary, config.connectivity, config.max_iterations)
+    return ccl_features_from_labels(lbl, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
+                             ) -> CclResult:
+    """Feature extraction given a label map (the reference benchmarks box
+    extraction separately from labeling, speed_compare:181-186)."""
+    h, w = lbl.shape
+    n = h * w
     flat = lbl.ravel()
     fg = flat >= 0
     root = jnp.where(fg, flat, 0)
 
     ones = fg.astype(jnp.int32)
     area_by_root = jnp.zeros(n, jnp.int32).at[root].add(ones)
-    # representative-only: area>0 exactly at component roots
     vals, root_ids = jax.lax.top_k(area_by_root, config.max_components)
     comp_valid = vals > 0
     num = jnp.sum(comp_valid)
 
-    # compact relabel: map root -> compact id
     compact_of_root = jnp.full(n, -1, jnp.int32)
     compact_of_root = compact_of_root.at[root_ids].set(
-        jnp.where(comp_valid, jnp.arange(config.max_components, dtype=jnp.int32), -1))
+        jnp.where(comp_valid,
+                  jnp.arange(config.max_components, dtype=jnp.int32), -1))
     compact = jnp.where(fg, compact_of_root[root], -1)
 
     xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)).ravel()
     ys = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)).ravel()
-    cid = jnp.where(compact.ravel() >= 0, compact.ravel(), config.max_components)
+    cid = jnp.where(compact >= 0, compact, config.max_components)
     c = config.max_components
     big = jnp.int32(1 << 30)
 
