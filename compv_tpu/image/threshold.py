@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from compv_tpu.image.histogram import histogram256
+from compv_tpu.image.integral import box_mean_var
 from compv_tpu.ops.conv import convolve_separable
 
 __all__ = ["threshold_global", "otsu_value", "threshold_otsu",
@@ -66,12 +67,12 @@ def threshold_wolf(img: jax.Array, block_size: int = 41, k: float = 0.5,
     """Wolf-Jolion local binarization (reference benchmark
     speed_compare:66-70): T = (1-k)*m + k*M + k*(s/R)*(m - M) with local
     mean m, local stddev s, global min M, R = max local stddev. Local
-    moments via separable box filters — two fused conv passes."""
+    moments from centered int32 prefix sums (integral.box_mean_var) — exact
+    and ~40x cheaper than the two 41-tap convolutions it replaces (windows
+    are clipped at the borders, matching prefix-sum box filters)."""
+    mean, var = box_mean_var(img, block_size)
+    std = jnp.sqrt(var)
     f = img.astype(jnp.float32)
-    kern = jnp.full((block_size,), 1.0 / block_size, jnp.float32)
-    mean = convolve_separable(f, kern, kern, border="replicate")
-    mean2 = convolve_separable(f * f, kern, kern, border="replicate")
-    std = jnp.sqrt(jnp.maximum(mean2 - mean * mean, 0.0))
     m_glob = jnp.min(f)
     r = jnp.maximum(jnp.max(std), 1e-9)
     t = (1.0 - k) * mean + k * m_glob + k * (std / r) * (mean - m_glob)
