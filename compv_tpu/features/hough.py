@@ -27,6 +27,7 @@ import numpy as np
 
 from compv_tpu.core.types import Lines
 from compv_tpu.ops.bincount import batched_weighted_bincount
+from compv_tpu.ops.pallas.hough_kernel import sht_accumulate_pallas
 from compv_tpu.ops.topk import select_top_k_2d
 
 __all__ = ["HoughShtConfig", "hough_sht", "hough_sht_stats",
@@ -41,10 +42,12 @@ class HoughShtConfig:
                                  # values < 1.0 mean a fraction of the peak
                                  # accumulator value (scale-invariant mode)
     max_lines: int = 64          # fixed output capacity
-    max_edge_points: int = 131072  # fixed edge-list capacity — covers ~14%
+    max_edge_points: int = 65536   # fixed edge-list capacity — covers ~7%
                                    # edge density at 720p (a dense Canny map
-                                   # is 3-8%); the extraction sort cost is
-                                   # k-independent, so headroom is cheap.
+                                   # is 3-8%, the bench scene measures 2.7%).
+                                   # Accumulation cost scales with CAPACITY
+                                   # (static shapes), so the default tracks
+                                   # the dense regime instead of 2x it.
                                    # If exceeded, the STRONGEST edges are
                                    # kept (never an arbitrary subset) and
                                    # hough_sht_stats reports truncation.
@@ -79,14 +82,27 @@ def _rho_bins(x, y, n_theta: int, rho_max: float, rho_step: float,
 
 
 def _accumulate(x, y, valid, weights, n_theta: int, rho_max: float,
-                rho_step: float, theta_step: float):
+                rho_step: float, theta_step: float, img_w: int | None = None):
     """(A, R) accumulator: for every edge point and every theta bin, vote
     round((x cos + y sin + rho_max)/step).
 
-    Scatter-free: per-theta weighted bincount over rho as int8 MXU matmuls
-    (ops/bincount.py). The reference's per-thread accumulator clone + merge
-    (houghsht.cxx:184-196) disappears — the matmul reduction is the merge.
-    ``weights`` must be small non-negative integers (votes)."""
+    Scatter-free. On TPU: a Pallas kernel fusing the one-hot build with the
+    int8 MXU contraction in VMEM (ops/pallas/hough_kernel.py) — the XLA
+    form materializes ~3.5 GB of one-hots per 720p frame (measured 44 ms vs
+    ~3 ms fused). On CPU (and when weights aren't 0/1): per-theta weighted
+    bincount as batched matmuls (ops/bincount.py). Both are bit-exact
+    per-edge-per-theta accumulation; the reference's per-thread clone +
+    merge (houghsht.cxx:184-196) disappears — the reduction is the merge.
+    `img_w` (image width) tightens the per-theta rho window for the Pallas
+    path; without it the window is bounded by rho_max."""
+    n_rho = int(np.ceil(2 * rho_max / rho_step)) + 1
+    if jax.default_backend() == "tpu":
+        w_row = (weights * valid).astype(jnp.int32)
+        acc = sht_accumulate_pallas(
+            x, y, w_row, n_theta, rho_max, rho_step, theta_step,
+            int(img_w) if img_w else int(np.ceil(rho_max)),
+            int(np.ceil(rho_max))).astype(jnp.float32)
+        return acc, n_rho
     rbin, n_rho = _rho_bins(x, y, n_theta, rho_max, rho_step, theta_step)
     w_row = (weights * valid).astype(jnp.int32)          # (E,)
     w = jnp.broadcast_to(w_row[None, :], rbin.shape)
@@ -96,7 +112,14 @@ def _accumulate(x, y, valid, weights, n_theta: int, rho_max: float,
 
 def _acc_nms_topk(acc: jax.Array, threshold: float, max_lines: int,
                   rho_max: float, rho_step: float, theta_step: float) -> Lines:
-    """4-neighbor NMS on the accumulator (houghsht.cxx:483) then top-K."""
+    """4-neighbor NMS on the accumulator (houghsht.cxx:483) then top-K.
+
+    lax.top_k over the full accumulator is a flat ~2 ms on TPU (it lowers to
+    a sort); instead take the top-2 NMS survivors per 64-bin rho segment
+    (NMS peaks are >= 2 bins apart, so a segment holds at most ~21 peaks but
+    nearly always <= 2 above threshold) and run the exact top-K on the ~16k
+    candidates. A peak is only lost if 3+ above-threshold NMS survivors
+    share one 64-bin segment AND the lost one belongs in the global top-K."""
     n_theta, n_rho = acc.shape
     p = jnp.pad(acc, 1)
 
@@ -106,10 +129,29 @@ def _acc_nms_topk(acc: jax.Array, threshold: float, max_lines: int,
     is_max = ((acc > sl(0, -1)) & (acc >= sl(0, 1))
               & (acc > sl(-1, 0)) & (acc >= sl(1, 0)))
     kept = jnp.where(is_max & (acc >= threshold), acc, 0.0)
-    vals, idx = jax.lax.top_k(kept.ravel(), max_lines)
+
+    seg = 64
+    nseg = -(-n_rho // seg)
+    k3 = jnp.pad(kept, ((0, 0), (0, nseg * seg - n_rho))
+                 ).reshape(n_theta, nseg, seg)
+    a1 = jnp.argmax(k3, axis=-1)
+    m1 = jnp.take_along_axis(k3, a1[..., None], axis=-1)[..., 0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, k3.shape, 2)
+    k3b = jnp.where(iota == a1[..., None], -1.0, k3)
+    a2 = jnp.argmax(k3b, axis=-1)
+    m2 = jnp.take_along_axis(k3b, a2[..., None], axis=-1)[..., 0]
+
+    cand_vals = jnp.stack([m1, m2], -1).ravel()        # (n_theta*nseg*2,)
+    cand_rbin = (jax.lax.broadcasted_iota(
+        jnp.int32, (n_theta, nseg, 2), 1) * seg
+        + jnp.stack([a1, a2], -1).astype(jnp.int32)).ravel()
+    cand_tbin = jax.lax.broadcasted_iota(
+        jnp.int32, (n_theta, nseg, 2), 0).ravel()
+
+    vals, idx = jax.lax.top_k(cand_vals, max_lines)
     valid = vals > 0
-    tbin = (idx // n_rho).astype(jnp.float32)
-    rbin = (idx % n_rho).astype(jnp.float32)
+    tbin = cand_tbin[idx].astype(jnp.float32)
+    rbin = cand_rbin[idx].astype(jnp.float32)
     return Lines(
         rho=jnp.where(valid, rbin * rho_step - rho_max, 0.0),
         theta=jnp.where(valid, tbin * theta_step, 0.0),
@@ -127,7 +169,7 @@ def _hough_sht_impl(edges, strengths, config: HoughShtConfig, shape):
     x, y, valid = _edge_list(edges, config.max_edge_points, strengths)
     weights = jnp.ones_like(x)
     acc, _ = _accumulate(x, y, valid, weights, n_theta, rho_max,
-                         config.rho, theta_step)
+                         config.rho, theta_step, img_w=w)
     thr = (jnp.asarray(config.threshold, jnp.float32) if config.threshold >= 1.0
            else config.threshold * jnp.max(acc))
     lines = _acc_nms_topk(acc, thr, config.max_lines,
@@ -175,7 +217,10 @@ class HoughKhtConfig:
     theta_step_deg: float = 0.5
     threshold_ratio: float = 0.02   # of total vote mass (KHT uses relative GS)
     max_lines: int = 64
-    max_edge_points: int = 16384
+    max_edge_points: int = 8192     # strongest-gradient retention: KHT votes
+                                    # only from significant kernels, so a
+                                    # tight budget of the sharpest edges is
+                                    # the method's own pruning semantics
 
 
 @partial(jax.jit, static_argnames=("config", "shape"))
@@ -194,7 +239,16 @@ def _hough_kht_impl(edges, gx, gy, config: HoughKhtConfig, shape):
     # rank edge retention by gradient magnitude: if the map overflows
     # capacity, the strongest (most KHT-significant) edges survive — the
     # dense analogue of KHT's "significant kernels only" pruning
-    x, y, valid = _edge_list(edges, config.max_edge_points, gx * gx + gy * gy)
+    # approx_max_k retention: KHT's "significant kernels only" pruning is
+    # itself a heuristic, so hardware PartialReduce (recall ~0.95, ~10x
+    # cheaper than exact top-k) is an acceptable ranking here — unlike SHT,
+    # where the oracle requires every edge accumulated.
+    rank = jnp.where(edges > 0, gx * gx + gy * gy, 0.0)
+    vk, ik = select_top_k_2d(rank, min(config.max_edge_points, h * w),
+                             exact=False)
+    x = (ik % w).astype(jnp.float32)
+    y = (ik // w).astype(jnp.float32)
+    valid = vk > 0
     xi = x.astype(jnp.int32)
     yi = y.astype(jnp.int32)
     # orientation tensor (structure tensor) is sign-invariant — the right
