@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from compv_tpu.ops.pallas.ccl_kernel import pallas_label
 
-__all__ = ["CclConfig", "CclResult", "label_components", "ccl_features"]
+__all__ = ["CclConfig", "CclResult", "label_components",
+           "label_components_seeded", "ccl_features"]
 
 _PALLAS_CAP = 96     # convergence checks in the Pallas stage (2 steps each)
 _SWEEP_CAP = 12      # run-min sweep iterations in the XLA stage
@@ -49,8 +50,11 @@ class CclConfig:
 
 
 class CclResult(NamedTuple):
-    labels: jax.Array       # (H, W) i32 — compact component id in
-                            # [0, max_components), -1 for background/overflow
+    labels: jax.Array       # (H, W) i32 — the label map (min flat index
+                            # per component, -1 background); per-component
+                            # rows below are indexed by the compact top-C
+                            # order, with the root id recoverable as
+                            # box_y0 * W + box_x0's pixel label
     num_components: jax.Array  # () i32
     area: jax.Array         # (C,) i32
     box_x0: jax.Array       # (C,) i32 bounding boxes
@@ -194,6 +198,51 @@ def label_components(binary: jax.Array, connectivity: int = 8,
     return jnp.where(fg, lbl, -1)
 
 
+@partial(jax.jit, static_argnames=("connectivity", "max_iterations"))
+def label_components_seeded(binary: jax.Array, init: jax.Array,
+                            connectivity: int = 8,
+                            max_iterations: int = 64) -> jax.Array:
+    """label_components warm-started from `init` (i32, own flat index or a
+    previous level's converged labels at foreground pixels; ignored at
+    background). Used by MSER's incremental gray-level ladder — nested level
+    sets mean most pixels keep their labels and only newly-merged regions
+    re-flood (compv_core_ccl_lmser.cxx grows its component tree the same
+    incremental way)."""
+    h, w = binary.shape
+    fg = binary > 0
+    big = jnp.int32(h * w)
+
+    if jax.default_backend() == "tpu":
+        from compv_tpu.ops.pallas.ccl_kernel import pallas_label_seeded
+        # run-jumps matter here: MSER's high gray levels merge everything
+        # into image-spanning open regions whose diameter defeats plain
+        # neighbor-min, but whose long fg runs let d<=512 jumps cross the
+        # image in a handful of iterations
+        raw, iters = pallas_label_seeded(binary, init, connectivity,
+                                         _PALLAS_CAP, jump_every=2,
+                                         jump_dists=(8, 64, 512))
+        converged = iters < _PALLAS_CAP
+
+        def fixup(r):
+            l = jnp.where(fg, r, big)
+            l = _pointer_stage(l, fg, connectivity, big, max_iterations)
+            return jnp.where(fg, l, -1)
+
+        return jax.lax.cond(converged, lambda r: r, fixup, raw)
+
+    lbl = jnp.where(fg, init, big)
+    sweep_ok = h * w * (max(h, w) // 2 + 2) < 2 ** 30
+    if sweep_ok:
+        lbl, converged = _sweep_stage(lbl, fg, connectivity, big, _SWEEP_CAP)
+    else:
+        converged = jnp.asarray(False)
+    lbl = jax.lax.cond(
+        converged, lambda l: l,
+        lambda l: _pointer_stage(l, fg, connectivity, big, max_iterations),
+        lbl)
+    return jnp.where(fg, lbl, -1)
+
+
 # --------------------------------------------------------------- features
 
 @partial(jax.jit, static_argnames=("config",))
@@ -210,58 +259,109 @@ def ccl_features(binary: jax.Array, config: CclConfig = CclConfig()
 def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
                              ) -> CclResult:
     """Feature extraction given a label map (the reference benchmarks box
-    extraction separately from labeling, speed_compare:181-186)."""
+    extraction separately from labeling, speed_compare:181-186).
+
+    Sort-based segmented reduction — no scatters, no gathers over the
+    image: sort A = [label, flat index] (stable, so groups keep raster
+    order: area / sum-x / sum-y / min-y / max-y fall out of cumsum
+    differences at group boundaries); sort B = [label, x] two-key (min-x at
+    each group's first slot, max-x extracted by summing a one-nonzero-per-
+    group masked array). Top-`max_components` selection by area uses top-2
+    per 64-slot segment of the sorted-label axis + an exact top-k over the
+    ~40k candidates; it can only miss a component if 3+ of the global
+    top-C land in one 64-slot segment.
+
+    Perf note (ROOFLINE.md): the reference extracts boxes from its RLE
+    runs in ~96 us on a CPU; any TPU formulation needs 1M-element sorts
+    (~1.5 ms each) or ~7 ns/element random access, so this row is
+    CPU-favored by design. Labeling, the expensive half, is where the TPU
+    wins (ccl_label_text)."""
     h, w = lbl.shape
     n = h * w
-    flat = lbl.ravel()
-    fg = flat >= 0
-    root = jnp.where(fg, flat, 0)
-
-    ones = fg.astype(jnp.int32)
-    area_by_root = jnp.zeros(n, jnp.int32).at[root].add(ones)
-    vals, root_ids = jax.lax.top_k(area_by_root, config.max_components)
-    comp_valid = vals > 0
-    num = jnp.sum(comp_valid)
-
-    compact_of_root = jnp.full(n, -1, jnp.int32)
-    compact_of_root = compact_of_root.at[root_ids].set(
-        jnp.where(comp_valid,
-                  jnp.arange(config.max_components, dtype=jnp.int32), -1))
-    compact = jnp.where(fg, compact_of_root[root], -1)
-
-    xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)).ravel()
-    ys = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)).ravel()
-    cid = jnp.where(compact >= 0, compact, config.max_components)
     c = config.max_components
     big = jnp.int32(1 << 30)
+    flat = lbl.ravel()
+    key = jnp.where(flat >= 0, flat, big)
+    fidx = jnp.arange(n, dtype=jnp.int32)
+    xs = fidx % w
 
-    def scatter_min(v, init):
-        return jnp.full(c + 1, init, jnp.int32).at[cid].min(v)[:c]
+    # ---- sort A: by label, stable => raster order within each group
+    ka, fa = jax.lax.sort([key, fidx], num_keys=1)
+    prev = jnp.pad(ka, (1, 0), constant_values=-1)[:-1]
+    is_first = (ka != prev) & (ka < big)
+    nxt_k = jnp.pad(ka, (0, 1), constant_values=big + 1)[1:]
+    is_last = (ka != nxt_k) & (ka < big)
+    num = jnp.sum(is_first)
 
-    def scatter_max(v, init):
-        return jnp.full(c + 1, init, jnp.int32).at[cid].max(v)[:c]
+    csum1 = jnp.cumsum((ka < big).astype(jnp.int32))
+    csumy = jnp.cumsum(jnp.where(ka < big, fa // w, 0))
+    csumx = jnp.cumsum(jnp.where(ka < big, fa % w, 0))
 
-    def scatter_sum(v):
-        return jnp.zeros(c + 1, jnp.float32).at[cid].add(v)[:c]
+    # exclusive prefix at group starts vs at next group starts
+    csum_at = lambda cs: jnp.pad(cs, (1, 0))[:-1]
+    exc1, excy, excx = csum_at(csum1), csum_at(csumy), csum_at(csumx)
 
-    x0 = scatter_min(xs, big)
-    y0 = scatter_min(ys, big)
-    x1 = scatter_max(xs, -1)
-    y1 = scatter_max(ys, -1)
-    m00 = scatter_sum(ones.astype(jnp.float32))
-    m10 = scatter_sum(xs.astype(jnp.float32) * ones)
-    m01 = scatter_sum(ys.astype(jnp.float32) * ones)
-    safe = jnp.maximum(m00, 1.0)
+    def nxt_first(v, terminal):
+        """At each slot: v at the NEAREST following group-first slot (the
+        prefixes are nondecreasing, so a reverse cummin with a +inf
+        sentinel finds the nearest, not the furthest); the final group
+        falls through to `terminal` (the overall total)."""
+        u = jnp.where(is_first, v, big)
+        incl = jax.lax.cummin(u[::-1])[::-1]
+        shifted = jnp.concatenate(
+            [incl[1:], jnp.full((1,), terminal, v.dtype)])
+        return jnp.minimum(shifted, terminal)
 
+    area = jnp.where(is_first, nxt_first(exc1, csum1[-1]) - exc1, 0)
+    sumy = jnp.where(is_first, nxt_first(excy, csumy[-1]) - excy, 0)
+    sumx = jnp.where(is_first, nxt_first(excx, csumx[-1]) - excx, 0)
+    miny = jnp.where(is_first, fa // w, 0)
+    # max-y: y of each group's LAST element — one nonzero per group, so a
+    # plain cumsum difference extracts it
+    lasty = jnp.cumsum(jnp.where(is_last, fa // w + 1, 0))
+    exly = csum_at(lasty)
+    maxy = jnp.where(is_first, nxt_first(exly, lasty[-1]) - exly - 1, 0)
+
+    # ---- sort B: by (label, x) => min-x first, max-x at group end
+    kb, xb = jax.lax.sort([key, xs], num_keys=2)
+    minx = jnp.where(is_first, xb, 0)      # same group boundaries as A
+    lastx = jnp.cumsum(jnp.where(is_last, xb + 1, 0))
+    exlx = csum_at(lastx)
+    maxx = jnp.where(is_first, nxt_first(exlx, lastx[-1]) - exlx - 1, 0)
+
+    # ---- top-C by area: top-2 per 64-slot segment + exact small top-k
+    seg = 64
+    nseg = n // seg if n % seg == 0 else -(-n // seg)
+    a3 = jnp.pad(area, (0, nseg * seg - n)).reshape(nseg, seg)
+    p1 = jnp.argmax(a3, axis=-1)
+    v1 = jnp.take_along_axis(a3, p1[:, None], axis=-1)[:, 0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, a3.shape, 1)
+    a3b = jnp.where(iota == p1[:, None], -1, a3)
+    p2 = jnp.argmax(a3b, axis=-1)
+    v2 = jnp.take_along_axis(a3b, p2[:, None], axis=-1)[:, 0]
+    cand_v = jnp.concatenate([v1, v2])
+    cand_p = jnp.concatenate([jnp.arange(nseg, dtype=jnp.int32) * seg + p1,
+                              jnp.arange(nseg, dtype=jnp.int32) * seg + p2])
+    kk = min(c, cand_v.shape[0])
+    vals, sel = jax.lax.top_k(cand_v, kk)
+    vals = jnp.pad(vals, (0, c - kk))
+    pos2 = jnp.pad(cand_p[sel], (0, c - kk))
+    comp_valid = vals > 0
+
+    def pick(arr, fill=0):
+        v = arr[pos2]
+        return jnp.where(comp_valid, v, fill)
+
+    m00 = jnp.maximum(vals.astype(jnp.float32), 1.0)
     return CclResult(
-        labels=compact.reshape(h, w),
+        labels=lbl,
         num_components=num.astype(jnp.int32),
         area=jnp.where(comp_valid, vals, 0),
-        box_x0=jnp.where(comp_valid, x0, 0),
-        box_y0=jnp.where(comp_valid, y0, 0),
-        box_x1=jnp.where(comp_valid, x1, 0),
-        box_y1=jnp.where(comp_valid, y1, 0),
-        cx=jnp.where(comp_valid, m10 / safe, 0.0),
-        cy=jnp.where(comp_valid, m01 / safe, 0.0),
+        box_x0=pick(minx),
+        box_y0=pick(miny),
+        box_x1=pick(maxx),
+        box_y1=pick(maxy),
+        cx=jnp.where(comp_valid, pick(sumx).astype(jnp.float32) / m00, 0.0),
+        cy=jnp.where(comp_valid, pick(sumy).astype(jnp.float32) / m00, 0.0),
         valid=comp_valid,
     )

@@ -8,24 +8,36 @@ min_diversity=0.5, base/include/compv/base/compv_ccl.h:23-27; per-region
 point extraction compv_ccl.h:141-156 / lmser_result.h:122-152).
 
 The flood-fill component tree is intrinsically sequential (SURVEY.md §7
-'hard parts'). TPU redesign: *threshold decomposition* — for a ladder of
-gray levels, the level sets {I <= t} are labeled with the dense CCL pass;
-a component is identified by its root (= min flat index, stable under
-growth), and the reference's stability math maps onto the sampled tree:
+'hard parts'). TPU redesign — an incremental gray-level ladder:
 
-  * variation(r at level t) = (area(component containing r at t+delta)
-    - area(r)) / area(r)            [one-sided UP, lmser_result.h:155-161]
-  * stable iff variation is a local minimum along the nesting chain
-    (vs the containing component one ladder step up and the seed-child one
-    step down), variation <= max_variation, min_area <= area <= max_area
-    [lmser_result.h:166-183]
-  * min-diversity: among NESTED stable regions closer in area than
-    (1 - min_diversity), only the most stable survives
-    [lmser_result.h:91-113]
+  phase 1 (lax.scan over levels): the level sets {I <= t} are nested, so
+    level t's converged labels SEED level t+step (label_components_seeded);
+    only newly-merged regions re-flood. Levels whose foreground did not
+    change are skipped entirely (lax.cond) — the cost is content-adaptive,
+    like the reference's tree walk. Per level, exact component areas come
+    from the Pallas strip-histogram (ops/pallas/label_stats.py) merged by a
+    batched sort + segmented sum — no large scatters anywhere.
 
-This computes the same extremal-region family sampled at `level_step` gray
-levels — a bounded quantization of the exact tree; tests/test_ccl_mser_hog.py
-bounds the divergence against a full-resolution sequential oracle.
+  phase 2 (batched small-table math): the reference's stability rules on
+    the sampled tree:
+      variation(r at t) = (area(comp containing seed at t+delta)
+                           - area(r)) / area(r)     [lmser_result.h:155-161]
+      stable iff local min of variation vs the parent (next level up through
+      the seed) and the child (next level down), variation <= max_variation,
+      min_area <= area <= max_area        [lmser_result.h:166-183]
+      min-diversity: among NESTED stable regions with relative area
+      difference < min_diversity only the most stable survives
+      [lmser_result.h:91-113]
+    Cross-level lookups go through per-level DENSE (root -> area/variation)
+    tables built by small scatters (<= max_candidates entries per level) and
+    resolved by batched gathers.
+
+Bounded deviations from the exact tree (both flagged in `overflowed` where
+they can silently bite): the ladder samples `level_step` gray levels, and
+components smaller than min_area have no variation table entry, so a
+below-min-area CHILD cannot veto its parent's local-min test (the reference
+compares against every ER node). tests/test_ccl_mser_hog.py bounds the
+end-to-end divergence against a full-resolution sequential oracle.
 """
 from __future__ import annotations
 
@@ -35,11 +47,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from compv_tpu.features.ccl import label_components
+from compv_tpu.features.ccl import label_components_seeded
 
 __all__ = ["MserConfig", "MserResult", "mser_detect", "mser_region_mask",
            "mser_region_points"]
+
+_BIG = 1 << 30
 
 
 @dataclass(frozen=True)
@@ -47,22 +62,21 @@ class MserConfig:
     """Parameter names and defaults follow the reference's LMSER caps ids
     (COMPV_CCL_SET_INT_MSER_DELTA etc.) and default constants
     (base/include/compv/base/compv_ccl.h:23-27)."""
-    delta: int = 5               # stability step, in GRAY LEVELS (not ladder
-                                 # indices): variation compares the area of
-                                 # the component containing the seed at
-                                 # gray level t + delta
+    delta: int = 5               # stability step in GRAY LEVELS
     min_area: float = 0.0002     # fraction of image area
     max_area: float = 0.5
     max_variation: float = 0.5
-    min_diversity: float = 0.5   # nested stable regions with relative area
-                                 # difference below this collapse to the
-                                 # most stable one
-    dark: bool = True            # detect dark-on-bright (I <= t); set False
-                                 # for bright regions (inverts the image)
-    level_step: int = 8          # gray-level quantization of the candidate
-                                 # ladder (the sampling the TPU formulation
-                                 # trades for dense parallelism)
+    min_diversity: float = 0.5
+    dark: bool = True            # detect dark-on-bright (I <= t)
+    level_step: int = 5          # gray-level quantization of the ladder;
+                                 # 5 == delta makes t+delta land exactly on
+                                 # the next level (no extra labelings)
     max_regions: int = 128       # fixed output capacity
+    max_candidates: int = 1024   # per-level capacity for components with
+                                 # area >= min_area (text scans measure a
+                                 # few hundred); overflow sets `overflowed`
+    strip_rounds: int = 256      # per-8-row-strip distinct-label capacity
+                                 # in the TPU histogram kernel
 
 
 class MserResult(NamedTuple):
@@ -77,149 +91,247 @@ class MserResult(NamedTuple):
     box_x1: jax.Array
     box_y1: jax.Array
     valid: jax.Array       # (R,) bool
+    overflowed: jax.Array  # () i32: #levels where a fixed capacity clipped
+                           # (strip rounds or candidate table) — results may
+                           # silently miss regions when nonzero
 
     def count(self):
         return jnp.sum(self.valid)
+
+
+_VAR_SCALE = 65536.0   # variation quantized to i32 fixed point so table
+_VAR_CLAMP = 8000.0    # lookups stay exact (clamp * scale * 2 < 2^31)
+
+
+def _quantize_var(v):
+    return jnp.round(jnp.clip(v, 0.0, _VAR_CLAMP) * _VAR_SCALE
+                     ).astype(jnp.int32)
+
+
+def _lookup_sorted(table_keys, table_vals, queries, invalid_key):
+    """Batched exact-match lookup: (B, C) tables sorted ascending by key
+    (invalid entries = invalid_key, sorted to the end), (B, Q) queries ->
+    (found (B, Q) bool, vals (B, Q) i32, vals >= 0 required).
+
+    Sort-merge: table rows and queries sort together by (key, kind); the
+    running table value is reconstructed by a cumsum of per-entry value
+    DIFFS (exact in int32 — no gather-based forward fill), and one small
+    scatter restores query order. Dense (root -> val) scatter tables were
+    9 ms each at 1122x1182 (271 MB operands); this is ~0.5 ms total."""
+    b, c = table_keys.shape
+    q = queries.shape[1]
+    prev_v = jnp.pad(table_vals, ((0, 0), (1, 0)))[:, :-1]
+    diffs = table_vals - prev_v
+    skey = jnp.concatenate([table_keys * 2, queries * 2 + 1], axis=1)
+    dif = jnp.concatenate([diffs, jnp.zeros((b, q), jnp.int32)], axis=1)
+    slot = jnp.concatenate(
+        [jnp.full((b, c), q, jnp.int32),
+         jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32), (b, q))], axis=1)
+    kk = jnp.concatenate([table_keys, queries], axis=1)
+    _, dif_s, slot_s, key_s, flag_s = jax.lax.sort(
+        [skey, dif, slot, kk,
+         jnp.concatenate([jnp.zeros((b, c), jnp.int32),
+                          jnp.ones((b, q), jnp.int32)], axis=1)],
+        dimension=1, num_keys=1)
+    ffv = jnp.cumsum(jnp.where(flag_s == 0, dif_s, 0), axis=1)
+    ffk = jax.lax.cummax(jnp.where(flag_s == 0, key_s, -1), axis=1)
+    found = (ffk == key_s) & (key_s != invalid_key)
+    packed = ffv * 2 + found.astype(jnp.int32)
+    out = jnp.zeros((b, q + 1), jnp.int32).at[
+        jnp.arange(b)[:, None], slot_s].set(packed)[:, :q]
+    return (out % 2) == 1, out // 2
 
 
 @partial(jax.jit, static_argnames=("config", "shape"))
 def _mser_impl(img: jax.Array, config: MserConfig, shape) -> MserResult:
     h, w = shape
     n = h * w
-    r_cap = config.max_regions
+    on_tpu = jax.default_backend() == "tpu"
     f = img if config.dark else (255 - img.astype(jnp.int32)).astype(jnp.uint8)
 
-    # candidate levels + the exact t+delta neighbors the reference's
-    # variation needs (labelings are shared when they coincide)
     cand_levels = list(range(config.level_step, 256, config.level_step))
     plus_levels = [min(t + config.delta, 255) for t in cand_levels]
     all_levels = sorted(set(cand_levels) | set(plus_levels))
     pos = {t: i for i, t in enumerate(all_levels)}
+    n_lv = len(all_levels)
+    n_cand = len(cand_levels)
+    rounds = config.strip_rounds
+    n_strips = -(-h // 8)
+    rec = n_strips * rounds if on_tpu else n
+    cap = min(config.max_candidates, rec)
 
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).ravel()
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).ravel()
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
 
-    def level_stats(t):
-        binary = (f.astype(jnp.int32) <= t).astype(jnp.uint8)
-        lbl = label_components(binary, 8, 64).ravel()     # root or -1
-        fgm = lbl >= 0
-        root = jnp.where(fgm, lbl, 0)
-        ones = fgm.astype(jnp.int32)
-        area_by_root = jnp.zeros(n, jnp.int32).at[root].add(ones)
-        big = jnp.int32(1 << 30)
-        x0 = jnp.full(n, big, jnp.int32).at[root].min(jnp.where(fgm, xs, big))
-        y0 = jnp.full(n, big, jnp.int32).at[root].min(jnp.where(fgm, ys, big))
-        x1 = jnp.full(n, -1, jnp.int32).at[root].max(jnp.where(fgm, xs, -1))
-        y1 = jnp.full(n, -1, jnp.int32).at[root].max(jnp.where(fgm, ys, -1))
-        return lbl, area_by_root, x0, y0, x1, y1
+    # ---------------- phase 1: incremental labeling + per-level records
+    def level_step_fn(carry, t):
+        prev_lbl, prev_keys, prev_cnts = carry
+        fgm = (f.astype(jnp.int32) <= t).astype(jnp.uint8)
+        changed = jnp.any((fgm > 0) != (prev_lbl >= 0))
 
-    # one compiled labeling body mapped over the level ladder (an unrolled
-    # Python loop would inline ~60 while_loops into the jaxpr)
-    roots_all, areas_all, x0_all, y0_all, x1_all, y1_all = jax.lax.map(
-        level_stats, jnp.asarray(all_levels, jnp.int32))
-    stats = {t: (roots_all[i], areas_all[i], x0_all[i], y0_all[i],
-                 x1_all[i], y1_all[i]) for t, i in pos.items()}
-    nl = len(cand_levels)
+        def compute(_):
+            init = jnp.where(prev_lbl >= 0, prev_lbl, idx)
+            lbl = label_components_seeded(fgm, init, 8)
+            if on_tpu:
+                from compv_tpu.ops.pallas.label_stats import \
+                    strip_label_counts
+                recs = strip_label_counts(lbl, rounds)
+                keys = jnp.where(recs[:, 0, :] < 0, _BIG,
+                                 recs[:, 0, :]).ravel()
+                cnts = recs[:, 1, :].ravel()
+                over = jnp.sum((recs[:, 0, -1] >= 0).astype(jnp.int32))
+            else:
+                flat = lbl.ravel()
+                keys = jnp.where(flat >= 0, flat, _BIG)
+                cnts = (flat >= 0).astype(jnp.int32)
+                over = jnp.int32(0)
+            return lbl, keys, cnts, over
 
-    def area_through_pixel(t):
-        """(N,) area of the component CONTAINING each pixel at level t."""
-        root_t = stats[t][0]
-        return stats[t][1][jnp.where(root_t >= 0, root_t, 0)], root_t
+        def reuse(_):
+            return prev_lbl, prev_keys, prev_cnts, jnp.int32(0)
 
-    # per candidate level: reference variation + local-minimum stability
-    scores = []
-    areas_own = []
-    for i, t in enumerate(cand_levels):
-        root_i = stats[t][0]                      # (N,)
-        is_root = (root_i == jnp.arange(n)) & (root_i >= 0)
-        area_i = stats[t][1]                      # area at own root
-        area_safe = jnp.maximum(area_i.astype(jnp.float32), 1.0)
+        lbl, keys, cnts, over = jax.lax.cond(changed, compute, reuse, 0)
+        return (lbl, keys, cnts), (lbl.ravel(), keys, cnts, over)
 
-        # variation through the component containing the seed at t+delta
-        a_plus, _ = area_through_pixel(plus_levels[i])
-        var = (a_plus - area_i).astype(jnp.float32) / area_safe
+    carry0 = (jnp.full((h, w), -1, jnp.int32),
+              jnp.full((rec,), _BIG, jnp.int32),
+              jnp.zeros((rec,), jnp.int32))
+    _, (labels_flat, keys_all, cnts_all, over_all) = jax.lax.scan(
+        level_step_fn, carry0, jnp.asarray(all_levels, jnp.int32))
+    # labels_flat: (L, n) — flattened in-step so no (L, h, w) -> (L, n)
+    # relayout copy is needed for the cross-level gathers below
 
-        # local minimum along the sampled nesting chain: the PARENT is the
-        # containing component one ladder step up; the CHILD is the
-        # component at one step down through the same seed pixel
-        # (lmser_result.h:166-183's parent/child variation comparison)
-        if i + 1 < nl:
-            ap_up, _ = area_through_pixel(cand_levels[i + 1])
-            a_up_plus, _ = area_through_pixel(plus_levels[i + 1])
-            var_parent = (a_up_plus - ap_up).astype(jnp.float32) / \
-                jnp.maximum(ap_up.astype(jnp.float32), 1.0)
-            is_min_up = var <= var_parent
-        else:
-            is_min_up = jnp.ones(n, bool)
-        if i - 1 >= 0:
-            t_dn = cand_levels[i - 1]
-            a_dn, root_dn = area_through_pixel(t_dn)
-            a_dn_plus, _ = area_through_pixel(plus_levels[i - 1])
-            var_child = (a_dn_plus - a_dn).astype(jnp.float32) / \
-                jnp.maximum(a_dn.astype(jnp.float32), 1.0)
-            # child exists where the seed pixel is foreground at t-step
-            has_child = root_dn >= 0
-            is_min_dn = jnp.where(has_child, var <= var_child, True)
-        else:
-            is_min_dn = jnp.ones(n, bool)
+    # ---------------- per-level exact component areas (sort + seg-sum)
+    ks, cs = jax.lax.sort([keys_all, cnts_all], dimension=1, num_keys=1)
+    suf = jnp.cumsum(cs[:, ::-1], axis=1)[:, ::-1]
+    prev_k = jnp.pad(ks, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    is_first = (ks != prev_k) & (ks < _BIG)
+    u = jnp.where(is_first, suf, -1)
+    nxt_incl = jax.lax.cummax(u[:, ::-1], axis=1)[:, ::-1]
+    nxt = jnp.pad(nxt_incl, ((0, 0), (0, 1)))[:, 1:]
+    area_rec = jnp.where(is_first, suf - jnp.maximum(nxt, 0), 0)
 
-        score = jnp.where(is_root & is_min_up & is_min_dn, var, jnp.inf)
-        scores.append(score)
-        areas_own.append(area_i)
-
-    score_all = jnp.stack(scores)                 # (L, N)
-    area_all = jnp.stack(areas_own)
     amin = max(int(config.min_area * n), 1)
     amax = int(config.max_area * n)
-    ok = ((area_all >= amin) & (area_all <= amax)
-          & (score_all <= config.max_variation))
-    score_m = jnp.where(ok, score_all, jnp.inf)
 
-    flat_sc = score_m.ravel()
-    vals, idx = jax.lax.top_k(-flat_sc, r_cap)
+    # candidates: every component with area >= min_area (amax applies only
+    # at final filtering so PARENT components stay in the tables)
+    cand_mask = is_first & (area_rec >= amin)
+    order = jnp.where(cand_mask,
+                      jax.lax.broadcasted_iota(jnp.int32, ks.shape, 1), _BIG)
+    o_s, root_s, area_s = jax.lax.sort([order, ks, area_rec], dimension=1,
+                                       num_keys=1)
+    cand_root = jnp.where(o_s[:, :cap] < _BIG, root_s[:, :cap], -1)  # (L,cap)
+    cand_area = jnp.where(cand_root >= 0, area_s[:, :cap], 0)
+    over_cand = jnp.sum(cand_mask.astype(jnp.int32), axis=1) > cap
+
+    invalid = jnp.int32(n + 1)
+    tbl_root = jnp.where(cand_root >= 0, cand_root, invalid)  # (L, cap)
+
+    cand_rows = jnp.asarray([pos[t] for t in cand_levels], jnp.int32)
+    plus_rows = jnp.asarray([pos[p] for p in plus_levels], jnp.int32)
+    seeds = cand_root[cand_rows]                       # (n_cand, cap)
+    areas = cand_area[cand_rows]
+    valid_c = seeds >= 0
+
+    # variation: area of the comp containing the seed at the +delta level
+    # (>= own area >= min_area, so it has a table entry unless capacity
+    # overflowed — flagged)
+    plus_roots = labels_flat[plus_rows[:, None],
+                             jnp.where(seeds >= 0, seeds, 0)]
+    found_p, area_plus = _lookup_sorted(
+        tbl_root[plus_rows], cand_area[plus_rows],
+        jnp.where(plus_roots >= 0, plus_roots, invalid), invalid)
+    area_sf = jnp.maximum(areas.astype(jnp.float32), 1.0)
+    var = (area_plus - areas).astype(jnp.float32) / area_sf
+    var = jnp.where(valid_c & found_p & (area_plus >= areas), var, np.inf)
+    var_q = _quantize_var(var)
+
+    # local-minimum stability vs parent (next cand level up, through the
+    # seed) and child (next level down); a missing table entry (area <
+    # min_area, capacity overflow, or ladder edge) passes the test.
+    up_rows = jnp.minimum(jnp.arange(n_cand) + 1, n_cand - 1)
+    dn_rows = jnp.maximum(jnp.arange(n_cand) - 1, 0)
+    r_up = labels_flat[cand_rows[up_rows][:, None],
+                       jnp.where(seeds >= 0, seeds, 0)]
+    r_dn = labels_flat[cand_rows[dn_rows][:, None],
+                       jnp.where(seeds >= 0, seeds, 0)]
+    var_tbl_keys = jnp.where(valid_c, seeds, invalid)  # (n_cand, cap) sorted
+    found_ud, vq_ud = _lookup_sorted(
+        jnp.concatenate([var_tbl_keys[up_rows], var_tbl_keys[dn_rows]], 0),
+        jnp.concatenate([var_q[up_rows], var_q[dn_rows]], 0),
+        jnp.concatenate([jnp.where(r_up >= 0, r_up, invalid),
+                         jnp.where(r_dn >= 0, r_dn, invalid)], 0), invalid)
+    found_up, found_dn = found_ud[:n_cand], found_ud[n_cand:]
+    vq_up, vq_dn = vq_ud[:n_cand], vq_ud[n_cand:]
+    is_min_up = jnp.where(
+        found_up & (jnp.arange(n_cand)[:, None] < n_cand - 1),
+        var_q <= vq_up, True)
+    has_dn = (r_dn >= 0) & found_dn & (jnp.arange(n_cand)[:, None] > 0)
+    is_min_dn = jnp.where(has_dn, var_q <= vq_dn, True)
+
+    ok = (valid_c & is_min_up & is_min_dn & (areas <= amax)
+          & (var <= config.max_variation))
+    score = jnp.where(ok, var, np.inf)
+
+    # ---------------- top-R regions: per-level top-R then global top-R
+    r_cap = config.max_regions
+    neg, posi = jax.lax.top_k(-score, min(r_cap, cap))   # (n_cand, r_cap)
+    flat_sc = (-neg).ravel()
+    vals, sel = jax.lax.top_k(-flat_sc, r_cap)
     valid = jnp.isfinite(-vals)
-    lvl_i = (idx // n).astype(jnp.int32)
-    pix = (idx % n).astype(jnp.int32)
-    var_sel = -vals
-    area_sel = area_all[lvl_i, pix]
+    lvl_i = (sel // min(r_cap, cap)).astype(jnp.int32)   # cand-level index
+    slot = jnp.take_along_axis(
+        posi.reshape(-1), sel, axis=0).astype(jnp.int32)
+    pick = lambda a2d: a2d[lvl_i, slot]
+    sel_seed = jnp.where(valid, pick(seeds), 0)
+    sel_area = jnp.where(valid, pick(areas), 0)
+    sel_var = jnp.where(valid, pick(var), np.inf)
 
-    # --- min-diversity (lmser_result.h:91-113): among NESTED candidates
-    # whose areas differ by less than min_diversity (relatively), only the
-    # most stable survives. Nesting check through the stacked roots:
-    # candidate j is inside candidate i (level_i >= level_j) iff the
-    # component containing j's seed at i's level is rooted at i's seed.
-    roots_cand = jnp.stack([stats[t][0] for t in cand_levels])   # (L, N)
-    root_of_j_at_li = roots_cand[lvl_i[:, None], pix[None, :]]   # (R, R)
-    nested = (root_of_j_at_li == pix[:, None]) & \
+    # ---------------- min-diversity (lmser_result.h:91-113)
+    rows_i = cand_rows[lvl_i]                             # (R,)
+    root_j_at_i = labels_flat[rows_i[:, None], sel_seed[None, :]]  # (R, R)
+    nested = (root_j_at_i == sel_seed[:, None]) & \
         (lvl_i[:, None] >= lvl_i[None, :])
-    nested = nested | nested.T                      # either containment
-    a_i = area_sel[:, None].astype(jnp.float32)
-    a_j = area_sel[None, :].astype(jnp.float32)
-    rel_diff = jnp.abs(a_i - a_j) / jnp.maximum(jnp.maximum(a_i, a_j), 1.0)
-    similar = rel_diff < config.min_diversity
-    # "j beats i": j more stable (top_k order: smaller rank = more stable)
+    nested = nested | nested.T
+    a_i = sel_area[:, None].astype(jnp.float32)
+    a_j = sel_area[None, :].astype(jnp.float32)
+    rel = jnp.abs(a_i - a_j) / jnp.maximum(jnp.maximum(a_i, a_j), 1.0)
+    similar = rel < config.min_diversity
     rank = jnp.arange(r_cap)
     beats = (rank[None, :] < rank[:, None]) & valid[None, :]
     killed = jnp.any(nested & similar & beats, axis=1)
     keep = valid & ~killed
 
-    level_arr = jnp.asarray(cand_levels, jnp.int32)
-    x0s = jnp.stack([stats[t][2] for t in cand_levels])
-    y0s = jnp.stack([stats[t][3] for t in cand_levels])
-    x1s = jnp.stack([stats[t][4] for t in cand_levels])
-    y1s = jnp.stack([stats[t][5] for t in cand_levels])
+    # ---------------- boxes for the surviving regions (one map scan)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
 
+    def box_of(args):
+        row, seed = args
+        m = jax.lax.dynamic_index_in_dim(labels_flat, row, 0,
+                                         keepdims=False).reshape(h, w) == seed
+        big = jnp.int32(_BIG)
+        return (jnp.min(jnp.where(m, xi, big)), jnp.min(jnp.where(m, yi, big)),
+                jnp.max(jnp.where(m, xi, -1)), jnp.max(jnp.where(m, yi, -1)))
+
+    bx0, by0, bx1, by1 = jax.lax.map(box_of, (rows_i, sel_seed))
+
+    level_arr = jnp.asarray(cand_levels, jnp.int32)
+    overflowed = (jnp.sum(over_all) + jnp.sum(over_cand.astype(jnp.int32))
+                  ).astype(jnp.int32)
     return MserResult(
-        seed_x=jnp.where(keep, pix % w, 0),
-        seed_y=jnp.where(keep, pix // w, 0),
+        seed_x=jnp.where(keep, sel_seed % w, 0),
+        seed_y=jnp.where(keep, sel_seed // w, 0),
         level=jnp.where(keep, level_arr[lvl_i], 0),
-        area=jnp.where(keep, area_sel, 0),
-        variation=jnp.where(keep, var_sel, jnp.inf),
-        box_x0=jnp.where(keep, x0s[lvl_i, pix], 0),
-        box_y0=jnp.where(keep, y0s[lvl_i, pix], 0),
-        box_x1=jnp.where(keep, x1s[lvl_i, pix], 0),
-        box_y1=jnp.where(keep, y1s[lvl_i, pix], 0),
+        area=jnp.where(keep, sel_area, 0),
+        variation=jnp.where(keep, sel_var, np.inf),
+        box_x0=jnp.where(keep, bx0, 0),
+        box_y0=jnp.where(keep, by0, 0),
+        box_x1=jnp.where(keep, bx1, 0),
+        box_y1=jnp.where(keep, by1, 0),
         valid=keep,
+        overflowed=overflowed,
     )
 
 
@@ -231,6 +343,7 @@ def mser_detect(img: jax.Array, config: MserConfig = MserConfig()
 
 @partial(jax.jit, static_argnames=("dark", "shape"))
 def _region_mask_impl(img, seed_x, seed_y, level, dark: bool, shape):
+    from compv_tpu.features.ccl import label_components
     f = img if dark else (255 - img.astype(jnp.int32)).astype(jnp.uint8)
     binary = (f.astype(jnp.int32) <= level).astype(jnp.uint8)
     lbl = label_components(binary, 8, 64)
@@ -253,9 +366,8 @@ def mser_region_points(mask: jax.Array, max_points: int = 4096):
     h, w = mask.shape
     n = h * w
     flat = mask.ravel()
-    # raster-ordered extraction: rank = N - idx for set pixels
     rank = jnp.where(flat, n - jnp.arange(n, dtype=jnp.int32), 0)
-    vals, idx = jax.lax.top_k(rank, min(max_points, n))
+    vals, idx2 = jax.lax.top_k(rank, min(max_points, n))
     valid = vals > 0
-    return ((idx % w).astype(jnp.int32) * valid,
-            (idx // w).astype(jnp.int32) * valid, valid)
+    return ((idx2 % w).astype(jnp.int32) * valid,
+            (idx2 // w).astype(jnp.int32) * valid, valid)
