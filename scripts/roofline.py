@@ -1,0 +1,267 @@
+"""Roofline / MFU accounting for the hot kernels (VERDICT r2 task 4).
+
+For each kernel: an explicit bytes-moved and ops model (stated inline, not
+inferred), measured wall time via the differential fori_loop slope
+(bench.py methodology — cancels the tunnel round trip), and the achieved
+GB/s / TOP/s as a % of the chip's nominal peaks.
+
+Run on the TPU:  python scripts/roofline.py            (full table)
+                 python scripts/roofline.py fast9 ...  (subset)
+Writes ROOFLINE.md at the repo root with the snapshot.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# nominal single-chip peaks by device kind
+PEAKS = {
+    # kind: (bf16 matmul FLOP/s, int8 matmul OP/s, HBM B/s, VPU f32 op/s)
+    "TPU v5 lite": (197e12, 394e12, 819e9, 3.9e12),
+    "TPU v4": (275e12, 275e12, 1228e9, 4.3e12),
+    "TPU v6 lite": (918e12, 1836e12, 1640e9, 7.4e12),
+}
+DEFAULT_PEAK = (197e12, 394e12, 819e9, 3.9e12)
+
+
+def slope(fn, arr, jax, jnp, target=0.4):
+    @jax.jit
+    def bench(x, r):
+        def body(i, carry):
+            acc, cur = carry
+            sv = fn(cur)
+            return acc + sv, cur.at[(0,) * cur.ndim].set(
+                cur[(0,) * cur.ndim] + (sv.astype(jnp.int32) % 2
+                                        ).astype(cur.dtype))
+        return jax.lax.fori_loop(0, r, body, (jnp.float32(0.0), x))[0]
+
+    float(bench(arr, jnp.int32(1)))
+    t0 = time.perf_counter(); float(bench(arr, jnp.int32(1)))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(bench(arr, jnp.int32(9)))
+    t9 = time.perf_counter() - t0
+    est = max((t9 - t1) / 8, 1e-7)
+    r2 = int(np.clip(round(target / est), 4, 1500))
+    r1 = max(1, r2 // 10)
+    t0 = time.perf_counter(); float(bench(arr, jnp.int32(r1)))
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(bench(arr, jnp.int32(r2)))
+    tb = time.perf_counter() - t0
+    return (tb - ta) / (r2 - r1)
+
+
+def main():
+    only = set(sys.argv[1:]) or None
+    import jax
+    import jax.numpy as jnp
+
+    kind = jax.devices()[0].device_kind
+    p_mxu_bf16, p_mxu_i8, p_hbm, p_vpu = PEAKS.get(kind, DEFAULT_PEAK)
+
+    from bench import _images
+    gray_np, text_np = _images()
+    gray = jnp.asarray(gray_np)
+    text_bin = jnp.asarray((text_np < 128).astype(np.uint8) * 255)
+    h, w = gray_np.shape
+    n = h * w
+    nt = text_np.size
+    rs = np.random.default_rng(0)
+
+    rows = []
+
+    def add(name, t, bytes_, ops, unit, model):
+        rows.append(dict(name=name, t=t, bytes=bytes_, ops=ops, unit=unit,
+                         model=model,
+                         gbs=bytes_ / t / 1e9,
+                         tops=ops / t / 1e12,
+                         pct_hbm=100 * (bytes_ / t) / p_hbm,
+                         pct_unit=100 * (ops / t) / {
+                             "bf16": p_mxu_bf16, "i8": p_mxu_i8,
+                             "vpu": p_vpu}[unit]))
+
+    def want(name):
+        return only is None or any(k in name for k in only)
+
+    # ---- FAST9 strengths + NMS + top-k (the detect headline)
+    if want("fast9"):
+        from compv_tpu.features.fast import _nms_f32, _strengths_f32
+        from compv_tpu.ops.topk import select_top_k_2d
+
+        def f(im):
+            v, i = select_top_k_2d(_nms_f32(_strengths_f32(im, 20, 9)), 2000)
+            return jnp.sum(v)
+        t = slope(f, gray, jax, jnp)
+        # bytes: u8 in + f32 strengths out + f32 NMS in/out + topk stream
+        bytes_ = n * (1 + 4 + 8 + 4)
+        # ops: 16 circle taps x (sub, 2 cmp, 2 select, min/max) ~ 6 VPU ops
+        # per tap + NMS 8 taps x 2
+        ops = n * (16 * 6 + 8 * 2)
+        add("fast9_nms_topk_720p", t, bytes_, ops, "vpu",
+            "17 B/px stream; 112 VPU ops/px")
+
+    # ---- Hamming BF match 2048x2048x256 (MXU)
+    if want("hamming"):
+        from compv_tpu.matchers.bruteforce import knn_match
+        q = jnp.asarray(rs.integers(0, 2, (2048, 256), np.uint8))
+        tdesc = jnp.asarray(rs.integers(0, 2, (2048, 256), np.uint8))
+
+        def f(qq):
+            m = knn_match(qq, tdesc, k=2)
+            return jnp.sum(jnp.where(m.valid, m.distance, 0.0))
+        t = slope(f, q, jax, jnp)
+        ops = 2 * 2048 * 2048 * 256          # MAC-counted matmul
+        bytes_ = 2 * 2048 * 256 + 2048 * 2048 * 4
+        add("bf_hamming_2048x2048x256", t, bytes_, ops, "bf16",
+            "one (2048,256)x(256,2048) matmul + row-min")
+
+    # ---- histogram256 (nibble-matmul formulation)
+    if want("hist"):
+        from compv_tpu.image.histogram import histogram256
+
+        def f(im):
+            return jnp.sum(histogram256(im)).astype(jnp.float32)
+        t = slope(f, gray, jax, jnp)
+        bytes_ = n
+        ops = n * 16 * 2 * 2   # two (n,16)-one-hot matmuls (hi/lo nibbles)
+        add("histogram256_720p", t, bytes_, ops, "i8",
+            "1 B/px stream; 64 int MACs/px")
+
+    # ---- Hough SHT accumulate (Pallas fused one-hot matmul)
+    if want("hough"):
+        from compv_tpu.ops.pallas.hough_kernel import sht_accumulate_pallas
+        E = 65536
+        x = jnp.asarray(rs.integers(0, w, E).astype(np.float32))
+        y = jnp.asarray(rs.integers(0, h, E).astype(np.float32))
+        wt = jnp.asarray(np.ones(E, np.int32))
+        rho_max = float(np.hypot(w, h))
+
+        def f(xx):
+            acc = sht_accumulate_pallas(xx, y, wt, 180, rho_max, 1.0,
+                                        float(np.deg2rad(1.0)), w, h)
+            return jnp.sum(acc).astype(jnp.float32)
+        t = slope(f, x, jax, jnp)
+        n_hi = 13
+        ops = 2 * E * 180 * n_hi * 128       # int8 one-hot contraction
+        bytes_ = 180 * E * 9 + 180 * 2944 * 4
+        add("hough_sht_accumulate_E64k", t, bytes_, ops, "i8",
+            "per-theta VMEM one-hot + (13,E)x(E,128) i8 dot")
+
+    # ---- CCL labeling (Pallas whole-image-in-VMEM propagation)
+    if want("ccl"):
+        from compv_tpu.features.ccl import label_components
+
+        def f(im):
+            return jnp.sum(label_components(im)).astype(jnp.float32)
+        t = slope(f, text_bin, jax, jnp)
+        bytes_ = nt * (1 + 4)                # u8 in + i32 labels out, once
+        iters = 40                            # measured on the text fixture
+        ops = nt * iters * 10                # 4 rolls + 4 mins + mask + cmp
+        add("ccl_label_1122x1182", t, bytes_, ops, "vpu",
+            "VMEM-resident; ~40 iters x 10 VPU ops/px; HBM = in+out only")
+
+    # ---- Wolf binarization (centered-i32 box moments)
+    if want("wolf"):
+        from compv_tpu.image.threshold import threshold_wolf
+
+        def f(im):
+            return jnp.sum(threshold_wolf(im, 41).astype(jnp.int32)
+                           ).astype(jnp.float32)
+        t = slope(f, gray, jax, jnp)
+        bytes_ = n * (1 + 8 * 4 + 1)         # u8 in, 4 i32 prefix r/w x2, out
+        ops = n * 30
+        add("wolf_41x41_720p", t, bytes_, ops, "vpu",
+            "4 cumsum passes + box diffs; ~34 B/px")
+
+    # ---- one BA step at production scale (O=100k obs, 256 cams)
+    if want("ba"):
+        from compv_tpu.slam.ba import BAConfig, BAProblem, ba_step
+        F, L, O = 256, 20000, 100000
+        cams = jnp.asarray(rs.normal(0, 0.1, (F, 6)).astype(np.float32))
+        lms = jnp.asarray(rs.normal(0, 1.0, (L, 3)).astype(np.float32)
+                          + np.array([0, 0, 5], np.float32))
+        intr = jnp.asarray([500.0, 500.0, 320.0, 240.0], jnp.float32)
+        ci = jnp.asarray(rs.integers(0, F, O).astype(np.int32))
+        li = jnp.asarray(rs.integers(0, L, O).astype(np.int32))
+        uv = jnp.asarray(rs.normal(0, 50, (O, 2)).astype(np.float32)
+                         + np.array([320, 240], np.float32))
+        prob = BAProblem(cams, lms, intr, ci, li, uv,
+                         jnp.ones(O, bool))
+        cfg = BAConfig(cg_iterations=20)
+
+        def f(c):
+            p = prob._replace(cameras=c)
+            nc, nl, *_ = ba_step(p, jnp.float32(1e-3), cfg)
+            return jnp.sum(nc).astype(jnp.float32)
+        t = slope(f, cams, jax, jnp, target=0.6)
+        # per CG iter: jvp + vjp of the per-obs projection (~300 flop each
+        # direction per obs) + gathers; 20 CG iters + 1 residual pass
+        ops = O * 600 * 20
+        bytes_ = 20 * O * (6 * 4 + 3 * 4 + 2 * 4 + 8) * 2
+        add(f"ba_step_O{O}_F{F} (1 chip)", t, bytes_, ops, "vpu",
+            "matrix-free GN: 20 CG iters of jvp/vjp over obs")
+        rows[-1]["extra"] = f"{1.0 / t:.1f} BA steps/s"
+
+    # ---------------- report
+    hdr = (f"device: {kind} | peaks: bf16 {p_mxu_bf16/1e12:.0f} TFLOP/s, "
+           f"int8 {p_mxu_i8/1e12:.0f} TOP/s, HBM {p_hbm/1e9:.0f} GB/s, "
+           f"VPU(f32) {p_vpu/1e12:.1f} Top/s")
+    print(hdr)
+    lines = [
+        "# ROOFLINE — per-kernel bytes/ops models vs chip peaks",
+        "",
+        f"`python scripts/roofline.py` snapshot. {hdr}",
+        "",
+        "Methodology: differential fori_loop slope (tunnel-latency-free);",
+        "bytes/ops are explicit MODELS stated per row (not measured",
+        "counters). '%peak' uses whichever unit the kernel targets.",
+        "",
+        "| kernel | time | GB/s (%HBM) | Tops/s (%unit) | model |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        line = (f"| {r['name']} | {r['t']*1e6:.0f} us | "
+                f"{r['gbs']:.0f} ({r['pct_hbm']:.0f}%) | "
+                f"{r['tops']:.2f} {r['unit']} ({r['pct_unit']:.1f}%) | "
+                f"{r['model']} |")
+        print(line)
+        lines.append(line)
+        if "extra" in r:
+            print("   ", r["extra"])
+            lines.append(f"| ... | {r['extra']} | | | |")
+
+    lines += [
+        "",
+        "## Reading the table",
+        "",
+        "- **ccl_label** is VMEM-resident: HBM%% is tiny BY DESIGN (in+out",
+        "  only); the bound is VPU issue rate on the propagation steps.",
+        "  At ~40 iterations x 10 ops/px it runs near the VPU roofline —",
+        "  the kernel is compute-bound, not bandwidth-bound.",
+        "- **bf_hamming** is the MXU showcase: one int-matmul; %%bf16-peak",
+        "  is the MFU of the whole match (incl. row-min/top-2).",
+        "- **hough_sht_accumulate** trades MXU MACs (mostly multiplying",
+        "  zeros of the one-hot) for zero HBM one-hot traffic; its bound",
+        "  is the VPU one-hot BUILD (E x 141 writes/theta), so %%int8-peak",
+        "  reads low while the kernel is near its real (VPU) bound.",
+        "- **wolf/histogram/fast9** are HBM-streaming kernels; their GB/s",
+        "  column is the honest utilization number.",
+        "- **ccl box extraction** (not listed) is documented in",
+        "  features/ccl.py: any TPU formulation needs 1M-element sorts",
+        "  (~1.5 ms) or ~7 ns/element random access; the reference's ~96 us",
+        "  CPU run-list walk has no TPU-shaped equivalent — labeling is",
+        "  where the TPU wins.",
+        "",
+    ]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "ROOFLINE.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote ROOFLINE.md")
+
+
+if __name__ == "__main__":
+    main()
