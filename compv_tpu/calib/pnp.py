@@ -158,14 +158,17 @@ def solve_pnp(pts3d: jax.Array, pts2d_px: jax.Array, k: jax.Array,
     tvec = jnp.where(better, tv2, tvec)
     inl_b = jnp.where(better, inl2, inl_b)
 
-    # GN polish on inliers
+    # GN polish on inliers — accept-only-if-not-worse, so pose and inlier
+    # set stay mutually consistent (both revert together if the polish
+    # shrinks the inlier set)
     w = inl_b.astype(jnp.float32)
-    rvec, tvec = _refine_gn(rvec, tvec, pts3d, pn, w,
+    rv_p, tv_p = _refine_gn(rvec, tvec, pts3d, pn, w,
                             config.refine_iterations)
-    e3 = score_one(rvec, tvec)
+    e3 = score_one(rv_p, tv_p)
     inl3 = (e3 < config.threshold) & mask
     keep = jnp.sum(inl3) >= jnp.sum(inl_b)
-    rvec = jnp.where(keep, rvec, rvec)  # pose already polished; inliers only
+    rvec = jnp.where(keep, rv_p, rvec)
+    tvec = jnp.where(keep, tv_p, tvec)
     inl_b = jnp.where(keep, inl3, inl_b)
     return PnpResult(rvec=rvec, tvec=tvec, inliers=inl_b,
                      num_inliers=jnp.sum(inl_b).astype(jnp.int32))

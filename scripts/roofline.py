@@ -195,8 +195,8 @@ def main():
 
         def f(c):
             p = prob._replace(cameras=c)
-            nc, nl, *_ = ba_step(p, jnp.float32(1e-3), cfg)
-            return jnp.sum(nc).astype(jnp.float32)
+            new_prob, _, _ = ba_step(p, jnp.float32(1e-3), cfg)
+            return jnp.sum(new_prob.cameras).astype(jnp.float32)
         t = slope(f, cams, jax, jnp, target=0.6)
         # per CG iter: jvp + vjp of the per-obs projection (~300 flop each
         # direction per obs) + gathers; 20 CG iters + 1 residual pass
