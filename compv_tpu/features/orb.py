@@ -84,17 +84,21 @@ def brief_pattern(bits: int = DESC_BITS, patch: int = PATCH_DIAMETER,
     return out
 
 
-_PATTERN = jnp.asarray(brief_pattern())  # (256, 4) i32
+# numpy at module scope (device transfer happens at trace time) — a
+# module-level jnp constant would initialize the backend on import,
+# breaking jax.distributed.initialize ordering on multi-host
+_PATTERN = brief_pattern()  # (256, 4) i32 numpy
 
 
 def _disc_mask_and_grids(radius: int):
     d = 2 * radius + 1
     ys, xs = np.mgrid[-radius:radius + 1, -radius:radius + 1]
     mask = (xs * xs + ys * ys) <= radius * radius
-    return (jnp.asarray(mask, jnp.float32), jnp.asarray(xs, jnp.float32),
-            jnp.asarray(ys, jnp.float32))
+    return (np.asarray(mask, np.float32), np.asarray(xs, np.float32),
+            np.asarray(ys, np.float32))
 
 
+# numpy at module scope; converted at trace time (see _PATTERN note)
 _DISC_MASK, _DISC_X, _DISC_Y = _disc_mask_and_grids(PATCH_RADIUS)
 
 
@@ -139,8 +143,9 @@ def brief_describe(blurred: jax.Array, x: jax.Array, y: jax.Array,
     xi = jnp.round(x).astype(jnp.int32)
     yi = jnp.round(y).astype(jnp.int32)
 
-    ax, ay = _PATTERN[:, 0].astype(jnp.float32), _PATTERN[:, 1].astype(jnp.float32)
-    bx, by = _PATTERN[:, 2].astype(jnp.float32), _PATTERN[:, 3].astype(jnp.float32)
+    pat = jnp.asarray(_PATTERN)
+    ax, ay = pat[:, 0].astype(jnp.float32), pat[:, 1].astype(jnp.float32)
+    bx, by = pat[:, 2].astype(jnp.float32), pat[:, 3].astype(jnp.float32)
 
     def rot(px, py):
         # (K, 256) rotated + rounded offsets

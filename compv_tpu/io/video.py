@@ -19,7 +19,8 @@ import numpy as np
 from compv_tpu.io.image_io import parse_raw_filename, read_image
 
 __all__ = ["VideoReader", "open_video", "RawYuvReader", "ImageSequenceReader",
-           "GifReader", "FfmpegReader", "VideoWriterRaw"]
+           "GifReader", "FfmpegReader", "VideoWriterRaw", "FfmpegWriter",
+           "GifWriter", "open_writer"]
 
 
 class VideoReader:
@@ -167,6 +168,93 @@ class VideoWriterRaw:
 
     def close(self) -> None:
         self.f.close()
+
+
+class FfmpegWriter:
+    """Pipe-encode via the ffmpeg binary (the TPU-host analogue of the
+    reference's libavformat writer, core/video/compv_core_video_writer_ffmpeg.cxx:
+    open stream -> write_frame loop -> close/trailer). We feed raw rgb24/gray
+    frames over stdin and let ffmpeg own the container/codec state machine.
+    Raises at construction if the binary is unavailable (use open_writer for
+    the graceful fallback)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 25.0,
+                 gray: bool = False, crf: int = 23):
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError("ffmpeg binary not available in this image")
+        self.w, self.h, self.gray = width, height, gray
+        fmt = "gray" if gray else "rgb24"
+        self.proc = subprocess.Popen(
+            ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", fmt,
+             "-s", f"{width}x{height}", "-r", str(fps), "-i", "-",
+             "-an", "-pix_fmt", "yuv420p", "-crf", str(crf), path],
+            stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+
+    def write(self, frame: np.ndarray) -> None:
+        frame = np.ascontiguousarray(frame, np.uint8)
+        exp = (self.h, self.w) if self.gray else (self.h, self.w, 3)
+        if frame.shape != exp:
+            raise ValueError(f"frame shape {frame.shape} != {exp}")
+        self.proc.stdin.write(frame.tobytes())
+
+    def close(self) -> None:
+        self.proc.stdin.close()
+        self.proc.wait()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class GifWriter:
+    """Animated-GIF writer via PIL — the dependency-free playable fallback
+    when the ffmpeg binary is absent (this image). Buffers frames host-side
+    and writes on close."""
+
+    def __init__(self, path: str, fps: float = 25.0):
+        self.path = path
+        self.ms = max(1, int(round(1000.0 / fps)))
+        self.frames: list = []
+
+    def write(self, frame: np.ndarray) -> None:
+        from PIL import Image
+        frame = np.ascontiguousarray(frame, np.uint8)
+        if frame.ndim == 2:
+            frame = np.stack([frame] * 3, -1)
+        self.frames.append(Image.fromarray(frame))
+
+    def close(self) -> None:
+        if self.frames:
+            self.frames[0].save(self.path, save_all=True,
+                                append_images=self.frames[1:],
+                                duration=self.ms, loop=0)
+        self.frames = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_writer(path: str, width: int, height: int, fps: float = 25.0,
+                gray: bool = False):
+    """Best-available video writer factory: ffmpeg-backed mp4/containers when
+    the binary exists, animated GIF otherwise (the returned writer's actual
+    path is in `.path`/ffmpeg's target). Mirrors the reference's newObj
+    factory gating on codec availability."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gif":
+        return GifWriter(path, fps=fps)
+    if ext == ".yuv" or ext == ".raw":
+        return VideoWriterRaw(path)
+    if shutil.which("ffmpeg") is not None:
+        return FfmpegWriter(path, width, height, fps=fps, gray=gray)
+    w = GifWriter(os.path.splitext(path)[0] + ".gif", fps=fps)
+    return w
 
 
 def open_video(path: str, **kw) -> VideoReader:

@@ -11,11 +11,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["pack_bits_to_bytes", "unpack_bytes_to_bits", "popcount_bytes",
            "bits_and", "bits_or", "bits_xor", "bits_not"]
 
-_BIT_WEIGHTS = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)  # LSB-first
+# numpy, not jnp: module-level device arrays would initialize the XLA
+# backend at import time and break jax.distributed.initialize ordering
+_BIT_WEIGHTS = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.uint8)  # LSB-first
 
 
 def pack_bits_to_bytes(bits: jax.Array) -> jax.Array:
@@ -24,7 +27,7 @@ def pack_bits_to_bytes(bits: jax.Array) -> jax.Array:
     8*b + k)."""
     shape = bits.shape
     b = bits.reshape(*shape[:-1], shape[-1] // 8, 8).astype(jnp.uint8)
-    return jnp.sum(b * _BIT_WEIGHTS, axis=-1).astype(jnp.uint8)
+    return jnp.sum(b * jnp.asarray(_BIT_WEIGHTS), axis=-1).astype(jnp.uint8)
 
 
 def unpack_bytes_to_bits(bytes_arr: jax.Array) -> jax.Array:

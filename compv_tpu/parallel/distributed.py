@@ -18,9 +18,11 @@ def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
     """jax.distributed.initialize with env-based autodetection. No-op when
-    already initialized or single-process."""
-    if jax.process_count() > 1:
-        return
+    already initialized or single-process.
+
+    NOTE: must run before ANY backend-initializing jax call (jax.devices,
+    process_count, any computation) — so this function must not probe the
+    backend itself; it only try/excepts initialize."""
     if coordinator_address is None:
         # rely on cluster auto-detection (GKE/Borg envs); if absent this is
         # a single-process run and nothing needs doing
@@ -29,9 +31,14 @@ def init_distributed(coordinator_address: str | None = None,
         except Exception:
             return
     else:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except RuntimeError:
+            # already initialized (idempotent re-entry)
+            if jax.process_count() != (num_processes or 1):
+                raise
 
 
 def global_frame_mesh(axis: str = "frame") -> Mesh:

@@ -97,12 +97,10 @@ def render_orbit_sequence(n_frames: int = 8, h: int = 240, w: int = 320,
     target = np.array([0.0, 0.0, 6.5])
 
     frames = []
-    kj = jnp.asarray(k)
     for i in range(n_frames):
         r = _look_at(centers[i], target)
         tv = -r @ centers[i]
         img = jnp.zeros((h, w), jnp.float32)
-        wmask = jnp.zeros((h, w), jnp.float32)
         for depth, (xa, xb), (ya, yb), tex in planes:
             th, tw = tex.shape
             # plane (x,y) -> image: H = K [r1 r2 d*r3+t]
@@ -119,7 +117,6 @@ def render_orbit_sequence(n_frames: int = 8, h: int = 240, w: int = 320,
                                  jnp.asarray(h_img2tex, jnp.float32),
                                  h, w).astype(jnp.float32) / 255.0
             img = img * (1 - m) + warped * m
-            wmask = jnp.maximum(wmask, m)
         frames.append(np.asarray(jnp.clip(img, 0, 255).astype(jnp.uint8)))
     return np.stack(frames), centers, k
 
@@ -306,8 +303,8 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
         if not inl[j] or n_lms >= lm_cap:
             continue
         tr = track_of[0, m01[j, 0]]
-        if tr < 0:
-            continue
+        if tr < 0 or lm_of_track[tr] >= 0:
+            continue   # track already has a landmark: don't leak a slot
         landmarks[n_lms] = pts[j]
         lm_valid[n_lms] = True
         lm_of_track[tr] = n_lms
@@ -321,25 +318,36 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
     ob_ok = np.zeros((oc,), bool)
     intr = jnp.asarray([k[0, 0], k[1, 1], k[0, 2], k[1, 2]], jnp.float32)
 
+    obs_x = np.stack([o[0] for o in obs])    # (F, cap) keypoint tables
+    obs_y = np.stack([o[1] for o in obs])
+
     def rebuild_obs(upto: int) -> int:
         """Fill the padded obs buffers with every (frame<=upto, landmark)
-        observation implied by the track tables. Returns the live count."""
+        observation implied by the track tables. Returns the live count.
+        Vectorized numpy table ops (was an O(frames*cap) Python double
+        loop); same fi-major/kp-minor order as the sequential fill."""
         ob_ok[:] = False
-        cnt = 0
-        for fi in range(upto + 1):
-            xs, ys = obs[fi][0], obs[fi][1]
-            for kp in range(cap):
-                tr = track_of[fi, kp]
-                if tr < 0:
-                    continue
-                lm = lm_of_track[tr]
-                if lm < 0 or not lm_valid[lm] or cnt >= oc:
-                    continue
-                ob_ci[cnt] = fi
-                ob_li[cnt] = int(lm)
-                ob_uv[cnt] = (xs[kp], ys[kp])
-                ob_ok[cnt] = True
-                cnt += 1
+        sub = track_of[: upto + 1]                      # (F', cap)
+        fis, kps = np.nonzero(sub >= 0)
+        trs = sub[fis, kps]
+        lms = lm_of_track[trs]
+        sel = (lms >= 0) & lm_valid[np.maximum(lms, 0)]
+        fis, kps, lms = fis[sel], kps[sel], lms[sel]
+        cnt = len(fis)
+        if cnt > oc:
+            # no-silent-caps policy: losing BA constraints must be loud
+            import warnings
+            warnings.warn(
+                f"obs buffer saturated: {cnt} observations > max_obs={oc}; "
+                f"dropping {cnt - oc} BA constraints — raise SfmConfig."
+                f"max_obs", RuntimeWarning, stacklevel=2)
+            fis, kps, lms = fis[:oc], kps[:oc], lms[:oc]
+            cnt = oc
+        ob_ci[:cnt] = fis
+        ob_li[:cnt] = lms
+        ob_uv[:cnt, 0] = obs_x[fis, kps]
+        ob_uv[:cnt, 1] = obs_y[fis, kps]
+        ob_ok[:cnt] = True
         return cnt
 
     def run_ba(cfg: BAConfig):
@@ -364,22 +372,21 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
     p2 = np.zeros((pad, 2), np.float32)
     frame_stats = [{"map_pts": nm, "pnp_inliers": int(eres.num_inliers)}]
     for i in range(2, n_frames):
-        xs, ys, vs, _, _ = obs[i]
+        xs, ys, _, _, _ = obs[i]
         p3[:] = 0.0
         p2[:] = 0.0
         pm = np.zeros((pad,), bool)
-        cnt = 0
-        for kp in range(cap):
-            tr = track_of[i, kp]
-            if tr < 0:
-                continue
-            lm = lm_of_track[tr]
-            if lm < 0 or not lm_valid[lm]:
-                continue
-            p3[cnt] = landmarks[lm]
-            p2[cnt] = (xs[kp], ys[kp])
-            pm[cnt] = True
-            cnt += 1
+        # vectorized 2D-3D correspondence assembly (track -> landmark join)
+        trs_i = track_of[i]
+        kp_sel = np.nonzero(trs_i >= 0)[0]
+        lms_i = lm_of_track[trs_i[kp_sel]]
+        ok_i = (lms_i >= 0) & lm_valid[np.maximum(lms_i, 0)]
+        kp_sel, lms_i = kp_sel[ok_i][:pad], lms_i[ok_i][:pad]
+        cnt = len(kp_sel)
+        p3[:cnt] = landmarks[lms_i]
+        p2[:cnt, 0] = xs[kp_sel]
+        p2[:cnt, 1] = ys[kp_sel]
+        pm[:cnt] = True
         if cnt < 8:
             # not enough map points: constant-velocity fallback
             cams[i] = 2 * cams[i - 1] - cams[i - 2]
@@ -415,6 +422,8 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
                 if not good[j] or n_lms >= lm_cap:
                     continue
                 tr = track_of[i - 1, q_idx[j]]
+                if lm_of_track[tr] >= 0:
+                    continue   # another row of this batch claimed the track
                 landmarks[n_lms] = pts_w[j]
                 lm_valid[n_lms] = True
                 lm_of_track[tr] = n_lms

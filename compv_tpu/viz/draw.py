@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from compv_tpu.viz.text import draw_text, text_size  # noqa: F401
+
 __all__ = ["to_rgb", "draw_keypoints", "draw_matches", "draw_lines",
-           "draw_boxes", "figure_keypoints", "figure_matches"]
+           "draw_boxes", "draw_text", "text_size", "figure_keypoints",
+           "figure_matches"]
 
 GREEN = (0, 255, 0)
 RED = (255, 64, 64)
@@ -114,8 +117,10 @@ def draw_lines(img, lines, color=RED) -> np.ndarray:
     return canvas
 
 
-def draw_boxes(img, x0, y0, x1, y1, valid=None, color=YELLOW) -> np.ndarray:
-    """Render CCL/MSER bounding boxes."""
+def draw_boxes(img, x0, y0, x1, y1, valid=None, color=YELLOW,
+               labels=None) -> np.ndarray:
+    """Render CCL/MSER bounding boxes; optional per-box text ``labels``
+    (sequence aligned with the box arrays) drawn above each box."""
     canvas = to_rgb(img)
     x0, y0, x1, y1 = map(np.asarray, (x0, y0, x1, y1))
     if valid is None:
@@ -125,6 +130,10 @@ def draw_boxes(img, x0, y0, x1, y1, valid=None, color=YELLOW) -> np.ndarray:
         _line_px(canvas, x1[i], y0[i], x1[i], y1[i], color)
         _line_px(canvas, x1[i], y1[i], x0[i], y1[i], color)
         _line_px(canvas, x0[i], y1[i], x0[i], y0[i], color)
+        if labels is not None and i < len(labels) and labels[i]:
+            ty = int(y0[i]) - 9
+            draw_text(canvas, int(x0[i]), max(0, ty), str(labels[i]),
+                      color=color, background=(0, 0, 0))
     return canvas
 
 

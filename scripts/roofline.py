@@ -193,11 +193,26 @@ def main():
                          jnp.ones(O, bool))
         cfg = BAConfig(cg_iterations=20)
 
-        def f(c):
-            p = prob._replace(cameras=c)
-            new_prob, _, _ = ba_step(p, jnp.float32(1e-3), cfg)
-            return jnp.sum(new_prob.cameras).astype(jnp.float32)
-        t = slope(f, cams, jax, jnp, target=0.6)
+        # NOTE: wrapping ba_step in the fori_loop slope harness faults the
+        # TPU worker (reproducible kernel fault in the axon tunnel);
+        # sequential dispatch of the same jitted step is fine, so time the
+        # chained-dispatch slope instead (step output feeds the next step,
+        # so the queue can't collapse; per-call overhead cancels in the
+        # 1-vs-N difference).
+        step = jax.jit(lambda p, lam: ba_step(p, lam, cfg)[0])
+        lam = jnp.float32(1e-3)
+        p1 = step(prob, lam)
+        jax.block_until_ready(p1)
+
+        def run(nit):
+            t0 = time.perf_counter()
+            p = prob
+            for _ in range(nit):
+                p = step(p, lam)
+            jax.block_until_ready(p)
+            return time.perf_counter() - t0
+        run(5)
+        t = max((run(60) - run(5)) / 55, 1e-7)
         # per CG iter: jvp + vjp of the per-obs projection (~300 flop each
         # direction per obs) + gathers; 20 CG iters + 1 residual pass
         ops = O * 600 * 20

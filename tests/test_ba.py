@@ -110,6 +110,7 @@ class TestBA:
         assert float(reproj_rmse(prob)) < 1e-2
 
 
+@pytest.mark.slow
 class TestDistributedBA:
     def test_matches_single_shard(self):
         """One distributed GN step == one local GN step (same psum'd math)."""
@@ -148,6 +149,7 @@ class TestDistributedBA:
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 class TestSchurBA:
     def test_schur_reduces_error(self):
         from compv_tpu.slam.ba_schur import SchurConfig, ba_solve_schur
@@ -219,6 +221,7 @@ class TestSchurBA:
                                    rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 class TestReduceScatterBA:
     def test_reduce_scatter_matches_psum(self):
         """The sharded-CG (all_gather/psum_scatter) BA step must reach the

@@ -83,6 +83,7 @@ class TestZhangClosedForm:
         np.testing.assert_allclose(np.asarray(t), tvecs[2], rtol=0.03)
 
 
+@pytest.mark.slow
 class TestFullCalibration:
     def test_recovers_k_and_distortion(self):
         obj, img_pts, _, _ = synth_views(noise=0.1)

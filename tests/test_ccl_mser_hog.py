@@ -71,6 +71,7 @@ class TestCcl:
         assert int(res.num_components) == 1
 
 
+@pytest.mark.slow
 class TestMser:
     def test_dark_blobs_found(self):
         img = np.full((80, 120), 220, np.uint8)
@@ -153,6 +154,7 @@ class TestHog:
         assert d_v.argmax() != d_d.argmax()
 
 
+@pytest.mark.slow
 class TestMserFidelity:
     """Acceptance vs a full-resolution SEQUENTIAL oracle (the reference's
     LMSER semantics: one-sided variation at +delta, local-min stability,

@@ -80,6 +80,7 @@ class TestCheckerboard:
         assert not bool(res.valid)
 
 
+@pytest.mark.slow
 class TestImageToCalibration:
     def test_full_pipeline(self):
         """Multiple rendered boards -> detected corners -> calibrate.

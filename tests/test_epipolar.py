@@ -76,6 +76,7 @@ class TestEssential:
         np.testing.assert_allclose(got[inl] / scale, pts[inl], atol=0.05)
 
 
+@pytest.mark.slow
 class TestTwoViewSfM:
     def test_full_chain_from_images(self):
         """Images -> ORB -> match -> E -> triangulate -> BA refine:

@@ -110,6 +110,7 @@ class TestScale:
         assert out90.shape == test_image.shape
 
 
+@pytest.mark.slow
 class TestPyramid:
     def test_levels_and_sizes(self, test_image):
         pyr = image.build_pyramid(jnp.asarray(test_image), levels=8, scale_factor=0.83)

@@ -22,6 +22,7 @@ def frames():
     return np.stack(out)
 
 
+@pytest.mark.slow
 class TestShardedDetect:
     def test_matches_local(self, frames):
         mesh = make_mesh(8)
@@ -59,6 +60,7 @@ class TestDistributedHelpers:
         assert m.devices.size == len(jax.devices())
 
 
+@pytest.mark.slow
 class TestRingMatch:
     def test_ring_equals_all_gather(self, frames):
         """The ppermute ring exchange must produce the identical all-pairs

@@ -87,6 +87,7 @@ def sfm_run():
     return res, ate, gt
 
 
+@pytest.mark.slow
 class TestSfmEndToEnd:
     def test_ate_vs_golden(self, sfm_run):
         """The cross-round lock: ATE must not regress 2x vs the checked-in
@@ -112,10 +113,10 @@ class TestSfmEndToEnd:
         for st in res.frame_stats:
             assert st["pnp_inliers"] >= 20, res.frame_stats
 
-    def test_deterministic(self, sfm_run):
-        """Same frames -> identical trajectory (pure-functional compute,
-        seeded RANSAC). Re-run only the cheap renderer check here; full
-        re-run determinism is covered by the golden assert above."""
+    def test_renderer_deterministic(self, sfm_run):
+        """Renderer-only determinism: same seed -> identical frames/gt.
+        (run_sfm determinism itself is bounded by the golden assert above,
+        not re-asserted bit-exactly here — a second full run costs ~40 s.)"""
         frames1, gt1, k1 = render_orbit_sequence(8, 240, 320)
         frames2, gt2, k2 = render_orbit_sequence(8, 240, 320)
         assert np.array_equal(frames1, frames2)

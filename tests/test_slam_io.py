@@ -139,6 +139,7 @@ class TestPlanarTracking:
             assert abs(h[1, 2]) < 1.5
 
 
+@pytest.mark.slow
 class TestIOViz:
     def test_raw_roundtrip(self, tmp_path, test_image):
         from compv_tpu.io import read_raw, write_raw
