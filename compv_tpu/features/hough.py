@@ -215,8 +215,19 @@ def hough_lines_to_cartesian(lines: Lines, width: int, height: int):
 class HoughKhtConfig:
     rho: float = 1.0
     theta_step_deg: float = 0.5
-    threshold_ratio: float = 0.02   # of total vote mass (KHT uses relative GS)
+    threshold_ratio: float = 0.25   # of the PEAK accumulator vote — the
+                                    # reference KHT accepts lines relative
+                                    # to the strongest (relative GS,
+                                    # houghkht.cxx); total-mass-relative
+                                    # thresholds collapse as scene line
+                                    # count grows (votes split over more
+                                    # peaks while total mass stays put)
     max_lines: int = 64
+    min_votes: float = 30.0         # absolute significance floor — the
+                                    # dense analogue of KHT's minimum chain
+                                    # length: a real line needs this many
+                                    # orientation-coherent supporters, so a
+                                    # pure-noise peak can't clear it
     max_edge_points: int = 8192     # strongest-gradient retention: KHT votes
                                     # only from significant kernels, so a
                                     # tight budget of the sharpest edges is
@@ -243,7 +254,10 @@ def _hough_kht_impl(edges, gx, gy, config: HoughKhtConfig, shape):
     # itself a heuristic, so hardware PartialReduce (recall ~0.95, ~10x
     # cheaper than exact top-k) is an acceptable ranking here — unlike SHT,
     # where the oracle requires every edge accumulated.
-    rank = jnp.where(edges > 0, gx * gx + gy * gy, 0.0)
+    # +1 floor keeps edge pixels whose own gradient vanishes (the center of
+    # a 1-px line is symmetric -> zero sobel response ON the pixel; its
+    # orientation still comes from the structure tensor of the 3x3 hood)
+    rank = jnp.where(edges > 0, 1.0 + gx * gx + gy * gy, 0.0)
     vk, ik = select_top_k_2d(rank, min(config.max_edge_points, h * w),
                              exact=False)
     x = (ik % w).astype(jnp.float32)
@@ -285,8 +299,8 @@ def _hough_kht_impl(edges, gx, gy, config: HoughKhtConfig, shape):
         wgt = jnp.where(valid, jnp.where(dt == 0, 1.0, 0.5), 0.0)
         acc = acc.at[tb, rb].add(wgt)
 
-    total = jnp.maximum(jnp.sum(acc), 1.0)
-    thr = total * config.threshold_ratio
+    peak = jnp.maximum(jnp.max(acc), 1.0)
+    thr = jnp.maximum(peak * config.threshold_ratio, config.min_votes)
     return _acc_nms_topk(acc, thr, config.max_lines, rho_max, config.rho,
                          theta_step)
 

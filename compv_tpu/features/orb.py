@@ -60,6 +60,8 @@ class OrbConfig:
     scale_factor: float = 0.83    # COMPV_FEATURE_DETE_ORB_PYRAMID_SF
     blur_size: int = 5            # COMPV_FEATURE_DESC_ORB_GAUSS_KERN_SIZE
     blur_sigma: float = 2.0       # COMPV_FEATURE_DESC_ORB_GAUSS_KERN_SIGMA
+    subpixel: bool = True         # quadratic-vertex keypoint refinement
+                                  # (beyond the reference's integer coords)
 
 
 def brief_pattern(bits: int = DESC_BITS, patch: int = PATCH_DIAMETER,
@@ -184,6 +186,27 @@ def _level_budgets(cfg: OrbConfig):
     return budgets
 
 
+def _subpixel_offsets(s: jax.Array, x: jax.Array, y: jax.Array):
+    """Per-axis quadratic vertex offsets in [-0.5, 0.5] from the 4-neighbor
+    response samples around integer keypoints (x, y). Keypoints are interior
+    by construction (border erase uses PATCH_RADIUS >= 1)."""
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    sc = s[yi, xi]
+    sl = s[yi, xi - 1]
+    sr = s[yi, xi + 1]
+    su = s[yi - 1, xi]
+    sd = s[yi + 1, xi]
+
+    def vertex(a, b, c):
+        # parabola through (-1,a),(0,b),(1,c): vertex at (a-c)/(2(a-2b+c))
+        den = a - 2.0 * b + c
+        off = jnp.where(jnp.abs(den) > 1e-6, (a - c) / (2.0 * den), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    return vertex(sl, sc, sr), vertex(su, sc, sd)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
                         ) -> OrbResult:
@@ -205,6 +228,7 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
         level_img = img if lv == 0 else scale_image(img, lh, lw, "bilinear")
 
         s = _strengths_f32(level_img, config.threshold, config.fast_n)
+        s_raw = s          # pre-NMS response surface for sub-pixel fit
         if config.nms:
             s = _nms_f32(s)
         # zero out the border so top-k never selects points whose patch
@@ -225,11 +249,22 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
         blurred = gaussian_blur(level_img, config.blur_size, config.blur_sigma)
         desc = brief_describe(blurred, lx, ly, orient, valid)
 
+        # sub-pixel localization: 1-D quadratic vertex fit on the pre-NMS
+        # response surface, per axis (reference detects at integer pixels,
+        # orb_dete.cxx; the ±0.5 px quantization there is the accuracy
+        # floor of everything downstream — homography, PnP, BA)
+        if config.subpixel:
+            rx, ry = _subpixel_offsets(s_raw, lx, ly)
+            lxo = lx + jnp.where(valid, rx, 0.0)
+            lyo = ly + jnp.where(valid, ry, 0.0)
+        else:
+            lxo, lyo = lx, ly
+
         inv_sf = 1.0 / sf
         parts.append((
             Keypoints(
-                x=jnp.where(valid, lx * inv_sf, 0.0),
-                y=jnp.where(valid, ly * inv_sf, 0.0),
+                x=jnp.where(valid, lxo * inv_sf, 0.0),
+                y=jnp.where(valid, lyo * inv_sf, 0.0),
                 strength=jnp.where(valid, vals, 0.0),
                 orientation=orient,
                 level=jnp.full((k,), lv, jnp.int32),

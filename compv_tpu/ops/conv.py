@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["gaussian_kernel1d", "gaussian_kernel2d", "convolve_separable",
-           "convolve2d", "gaussian_blur"]
+           "convolve2d", "gaussian_blur", "fixed_point_kernel",
+           "convolve_separable_q16", "gaussian_blur_q16"]
 
 
 def gaussian_kernel1d(size: int, sigma: float) -> jax.Array:
@@ -145,6 +146,65 @@ def convolve2d(img: jax.Array, kernel: jax.Array, border: str = "zero") -> jax.A
                                          [(kh // 2, kh // 2), (kw // 2, kw // 2)],
                                          dimension_numbers=dn)
     return y.reshape(*batch_shape, h, w)
+
+
+def fixed_point_kernel(kernel) -> np.ndarray:
+    """Quantize a normalized (>0, sums ~1) float kernel to u16 Q0.16 —
+    bit-exact mirror of CompVMathConvlt::fixedPointKernel
+    (base/include/compv/base/math/compv_math_convlt.h:75-92):
+    coeff * 0xffff, truncated."""
+    k = np.asarray(kernel, np.float64)
+    if (k < 0).any():
+        raise ValueError("fixed-point kernel coefficients must be >= 0")
+    return (k * 0xFFFF).astype(np.uint16)
+
+
+def _q16_pass(img_i32: jax.Array, kern_u16: np.ndarray, axis: int
+              ) -> jax.Array:
+    """One separable fixed-point pass, interior-exact to the reference's
+    convlt1VtHzFixedPoint_C (compv_math_convlt.h:386-404): per-tap
+    (u8 * u16) >> 16 with floor, unsigned accumulate, clip [0, 255].
+    Borders use zero padding (COMPV_BORDER_TYPE_ZERO)."""
+    taps = len(kern_u16)
+    r = taps // 2
+    h, w = img_i32.shape
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    p = jnp.pad(img_i32, pad)
+    acc = jnp.zeros((h, w), jnp.int32)
+    for t in range(taps):
+        if axis == 0:
+            sl = jax.lax.dynamic_slice(p, (t, 0), (h, w))
+        else:
+            sl = jax.lax.dynamic_slice(p, (0, t), (h, w))
+        acc = acc + jnp.right_shift(sl * jnp.int32(int(kern_u16[t])), 16)
+    return jnp.clip(acc, 0, 255)
+
+
+@partial(jax.jit, static_argnames=("vt_kern", "hz_kern"))
+def convolve_separable_q16(img: jax.Array, vt_kern: tuple, hz_kern: tuple
+                           ) -> jax.Array:
+    """Separable fixed-point u8 convolution with Q0.16 u16 kernels —
+    the TPU path of the reference's convlt1FixedPoint
+    (compv_math_convlt.h:31-34): vertical pass then horizontal pass, each
+    per-tap floor-shifted, intermediate stored as u8 like the reference's
+    two-pass buffer. Kernels are static tuples of python ints (u16)."""
+    vt = np.asarray(vt_kern, np.uint16)
+    hz = np.asarray(hz_kern, np.uint16)
+    x = img.astype(jnp.int32)
+    x = _q16_pass(x, vt, axis=0)
+    x = _q16_pass(x, hz, axis=1)
+    return x.astype(jnp.uint8)
+
+
+def gaussian_blur_q16(img: jax.Array, size: int = 5, sigma: float = 2.0
+                      ) -> jax.Array:
+    """Fixed-point gaussian blur: the bit-parity twin of the reference's
+    fixed-point blur path (gaussian kernel -> fixedPointKernel ->
+    convlt1FixedPoint)."""
+    k = np.asarray(gaussian_kernel1d(size, sigma))
+    kq = tuple(int(v) for v in fixed_point_kernel(k))
+    return convolve_separable_q16(img, kq, kq)
 
 
 def gaussian_blur(img: jax.Array, size: int = 5, sigma: float = 2.0,

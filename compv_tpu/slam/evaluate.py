@@ -43,8 +43,16 @@ def ate_rmse(est: jax.Array, gt: jax.Array, with_scale: bool = True):
     return jnp.sqrt(jnp.mean(jnp.sum(err * err, axis=1)))
 
 
-def rpe_rmse(est: jax.Array, gt: jax.Array, delta: int = 1):
-    """Relative pose (translation) error RMSE over steps of ``delta``."""
+def rpe_rmse(est: jax.Array, gt: jax.Array, delta: int = 1,
+             align: bool = True, with_scale: bool = True):
+    """Relative pose (translation) error RMSE over steps of ``delta``.
+
+    ``align`` applies the Umeyama sim(3) alignment first — required for
+    monocular estimates whose global scale is arbitrary (without it the
+    scale mismatch dominates and RPE measures nothing)."""
+    if align:
+        scale, r, t = umeyama_alignment(est, gt, with_scale)
+        est = scale * (est @ r.T) + t
     de = est[delta:] - est[:-delta]
     dg = gt[delta:] - gt[:-delta]
     err = de - dg

@@ -83,30 +83,48 @@ def build() -> dict:
     return g
 
 
-def build_sfm() -> dict:
-    """SfM trajectory golden (BASELINE.json headline: ATE RMSE). Slower
-    (~30 s), so gated behind --sfm. Writes goldens/sfm.json."""
-    from compv_tpu.slam.evaluate import ate_rmse
-    from compv_tpu.slam.sfm import render_orbit_sequence, run_sfm
+def _sfm_metrics(n_frames: int, h: int, w: int, config=None) -> dict:
+    from compv_tpu.slam.evaluate import ate_rmse, rpe_rmse
+    from compv_tpu.slam.sfm import SfmConfig, render_orbit_sequence, run_sfm
 
-    frames, gt, k = render_orbit_sequence(8, 240, 320)
-    res = run_sfm(frames, k)
-    ate = float(ate_rmse(jnp.asarray(res.positions), jnp.asarray(gt),
-                         with_scale=True))
+    frames, gt, k = render_orbit_sequence(n_frames, h, w)
+    res = run_sfm(frames, k, config or SfmConfig())
+    est = jnp.asarray(res.positions)
+    gtj = jnp.asarray(gt)
+    ate = float(ate_rmse(est, gtj, with_scale=True))
+    rpe = float(rpe_rmse(est, gtj, delta=1))
+    span = float(np.linalg.norm(gt[-1] - gt[0]))
     return {
-        "sequence": {"n_frames": 8, "h": 240, "w": 320, "seed": 7},
+        "sequence": {"n_frames": n_frames, "h": h, "w": w, "seed": 7},
         "ate_rmse": round(ate, 5),
+        "rpe_rmse": round(rpe, 5),
+        "ate_pct_of_span": round(100.0 * ate / span, 2),
         "reproj_after_px": round(res.reproj_after, 4),
         "num_obs": res.num_obs,
         "num_tracks": res.num_tracks,
-        "trajectory_span": round(float(np.linalg.norm(gt[-1] - gt[0])), 4),
+        "trajectory_span": round(span, 4),
     }
 
 
+def build_sfm() -> dict:
+    """SfM trajectory golden (BASELINE.json headline: ATE RMSE). Slower
+    (~60 s), so gated behind --sfm. Writes goldens/sfm.json."""
+    return _sfm_metrics(8, 240, 320)
+
+
+def build_sfm_long() -> dict:
+    """Longer/harder golden (VERDICT r2 task 6b): 32 frames at 480p with
+    RPE. Gated behind --sfm-long. Writes goldens/sfm_long.json."""
+    from compv_tpu.slam.sfm import SfmConfig
+    cfg = SfmConfig(max_obs=65536, max_landmarks=8192)
+    return _sfm_metrics(32, 480, 640, cfg)
+
+
 if __name__ == "__main__":
-    if "--sfm" in sys.argv:
-        out_sfm = os.path.join(os.path.dirname(OUT), "sfm.json")
-        g = build_sfm()
+    if "--sfm" in sys.argv or "--sfm-long" in sys.argv:
+        name = "sfm_long.json" if "--sfm-long" in sys.argv else "sfm.json"
+        out_sfm = os.path.join(os.path.dirname(OUT), name)
+        g = build_sfm_long() if "--sfm-long" in sys.argv else build_sfm()
         with open(out_sfm, "w") as f:
             json.dump(g, f, indent=1, sort_keys=True)
         print(f"wrote {out_sfm}:")

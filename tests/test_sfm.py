@@ -96,9 +96,20 @@ class TestSfmEndToEnd:
         with open(GOLDEN_PATH) as f:
             g = json.load(f)
         assert ate <= 2.0 * g["ate_rmse"], (ate, g["ate_rmse"])
-        # absolute sanity: error well below the trajectory span
+        # absolute quality bar (VERDICT r2 task 6a): ATE < 3% of the
+        # trajectory span (sub-pixel keypoints brought it to ~0.6%)
         span = float(np.linalg.norm(gt[-1] - gt[0]))
-        assert ate < 0.2 * span
+        assert ate < 0.03 * span
+
+    def test_rpe_vs_golden(self, sfm_run):
+        from compv_tpu.slam.evaluate import rpe_rmse
+        import jax.numpy as jnp
+        res, ate, gt = sfm_run
+        with open(GOLDEN_PATH) as f:
+            g = json.load(f)
+        rpe = float(rpe_rmse(jnp.asarray(res.positions), jnp.asarray(gt),
+                             delta=1))
+        assert rpe <= 2.0 * g["rpe_rmse"], (rpe, g["rpe_rmse"])
 
     def test_ba_improves_reprojection(self, sfm_run):
         res, ate, gt = sfm_run
