@@ -135,6 +135,8 @@ class SfmConfig:
     ratio: float = 0.8
     max_landmarks: int = 4096
     max_obs: int = 16384            # fixed obs capacity: one BA compile
+    min_bootstrap_flow: float = 0.05  # median (0,b) match flow, fraction of
+                                      # width, before the pair can bootstrap
     min_parallax_deg: float = 0.6   # reject low-parallax triangulations
     prune_px: float = 4.0           # drop observations with post-BA residual
                                     # above this, then re-solve
@@ -274,21 +276,63 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
             if track_of[fi, kp] >= 0:
                 track_of[fi, kp] = find(track_of[fi, kp])
 
-    # --- bootstrap: essential matrix on pair (0, 1)
-    m01 = pair_matches[0]
+    # --- bootstrap pair selection: frame 0 vs the first frame with enough
+    # median flow (dense temporal sampling of the same arc makes the (0,1)
+    # baseline vanish; essential-matrix bootstrap needs REAL parallax, so
+    # widen the pair like production SfM keyframe selection does)
+    w_img = frames.shape[2]
+    boot_flow = config.min_bootstrap_flow * w_img
+
+    def merge_matches_into_tracks(a: int, bb: int, m: np.ndarray):
+        nonlocal n_tracks
+        for q, t in m:
+            ta, tb_ = track_of[a, q], track_of[bb, t]
+            if ta >= 0 and tb_ < 0:
+                track_of[bb, t] = ta
+            elif ta < 0 and tb_ >= 0:
+                track_of[a, q] = tb_
+            elif ta < 0 and tb_ < 0:
+                tr = n_tracks
+                parent.append(tr)
+                n_tracks += 1
+                track_of[a, q] = tr
+                track_of[bb, t] = tr
+            elif find(ta) != find(tb_):
+                parent[find(ta)] = find(tb_)
+
+    b, m0b = 1, pair_matches[0]
+    for j in range(1, n_frames):
+        m = pair_matches[0] if j == 1 else matched_pairs(0, j)
+        if len(m) < 30:
+            break           # matching against frame 0 is degrading: stop
+        if j > 1:
+            merge_matches_into_tracks(0, j, m)
+        b, m0b = j, m
+        flow = float(np.median(np.hypot(
+            obs[j][0][m[:, 1]] - obs[0][0][m[:, 0]],
+            obs[j][1][m[:, 1]] - obs[0][1][m[:, 0]])))
+        if flow >= boot_flow:
+            break
+
+    # re-canonicalize after the bootstrap merges
+    for fi in range(n_frames):
+        live = track_of[fi] >= 0
+        track_of[fi, live] = [find(t) for t in track_of[fi, live]]
+
+    # --- bootstrap: essential matrix on pair (0, b)
     pad = cap  # fixed capacity for the jitted RANSAC
     src = np.zeros((pad, 2), np.float32)
     dst = np.zeros((pad, 2), np.float32)
     msk = np.zeros((pad,), bool)
-    nm = len(m01)
-    src[:nm] = np.stack([obs[0][0][m01[:, 0]], obs[0][1][m01[:, 0]]], axis=1)
-    dst[:nm] = np.stack([obs[1][0][m01[:, 1]], obs[1][1][m01[:, 1]]], axis=1)
+    nm = len(m0b)
+    src[:nm] = np.stack([obs[0][0][m0b[:, 0]], obs[0][1][m0b[:, 0]]], axis=1)
+    dst[:nm] = np.stack([obs[b][0][m0b[:, 1]], obs[b][1][m0b[:, 1]]], axis=1)
     msk[:nm] = True
     eres = find_essential(jnp.asarray(src), jnp.asarray(dst), kj,
                           jnp.asarray(msk), config.essential)
     cams = np.zeros((n_frames, 6), np.float32)
-    cams[1, :3] = np.asarray(eres.rvec)
-    cams[1, 3:] = np.asarray(eres.tvec)
+    cams[b, :3] = np.asarray(eres.rvec)
+    cams[b, 3:] = np.asarray(eres.tvec)
 
     # landmarks from the bootstrap triangulation (world = cam0 frame)
     lm_cap = config.max_landmarks
@@ -302,13 +346,30 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
     for j in range(nm):
         if not inl[j] or n_lms >= lm_cap:
             continue
-        tr = track_of[0, m01[j, 0]]
+        tr = track_of[0, m0b[j, 0]]
         if tr < 0 or lm_of_track[tr] >= 0:
             continue   # track already has a landmark: don't leak a slot
         landmarks[n_lms] = pts[j]
         lm_valid[n_lms] = True
         lm_of_track[tr] = n_lms
         n_lms += 1
+
+    # first REGISTERED observation of each track — the wide-baseline anchor
+    # for later triangulation
+    tr_first_frame = np.full((n_tracks + 1,), -1, np.int64)
+    tr_first_kp = np.zeros((n_tracks + 1,), np.int64)
+
+    def note_first_obs(fi: int):
+        kps = np.nonzero(track_of[fi] >= 0)[0]
+        trs = track_of[fi, kps]
+        new = tr_first_frame[trs] < 0
+        tr_first_frame[trs[new]] = fi
+        tr_first_kp[trs[new]] = kps[new]
+
+    registered = np.zeros((n_frames,), bool)
+    registered[0] = registered[b] = True
+    note_first_obs(0)
+    note_first_obs(b)
 
     # --- fixed-capacity BA buffers: ONE jitted solve reused per frame
     oc = config.max_obs
@@ -321,13 +382,13 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
     obs_x = np.stack([o[0] for o in obs])    # (F, cap) keypoint tables
     obs_y = np.stack([o[1] for o in obs])
 
-    def rebuild_obs(upto: int) -> int:
-        """Fill the padded obs buffers with every (frame<=upto, landmark)
-        observation implied by the track tables. Returns the live count.
-        Vectorized numpy table ops (was an O(frames*cap) Python double
-        loop); same fi-major/kp-minor order as the sequential fill."""
+    def rebuild_obs() -> int:
+        """Fill the padded obs buffers with every (registered frame,
+        landmark) observation implied by the track tables. Returns the live
+        count. Vectorized numpy table ops (was an O(frames*cap) Python
+        double loop); fi-major/kp-minor order."""
         ob_ok[:] = False
-        sub = track_of[: upto + 1]                      # (F', cap)
+        sub = np.where(registered[:, None], track_of, -1)   # (F, cap)
         fis, kps = np.nonzero(sub >= 0)
         trs = sub[fis, kps]
         lms = lm_of_track[trs]
@@ -364,14 +425,14 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
         return solved
 
     # polish the two-view bootstrap before the first PnP
-    rebuild_obs(1)
+    rebuild_obs()
     run_ba(config.local_ba)
 
     # --- register remaining frames with PnP, extend the map
     p3 = np.zeros((pad, 3), np.float32)
     p2 = np.zeros((pad, 2), np.float32)
-    frame_stats = [{"map_pts": nm, "pnp_inliers": int(eres.num_inliers)}]
-    for i in range(2, n_frames):
+    stats_of = {b: {"map_pts": nm, "pnp_inliers": int(eres.num_inliers)}}
+    for i in [f for f in range(1, n_frames) if f != b]:
         xs, ys, _, _, _ = obs[i]
         p3[:] = 0.0
         p2[:] = 0.0
@@ -388,53 +449,63 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
         p2[:cnt, 1] = ys[kp_sel]
         pm[:cnt] = True
         if cnt < 8:
-            # not enough map points: constant-velocity fallback
-            cams[i] = 2 * cams[i - 1] - cams[i - 2]
-            frame_stats.append({"map_pts": cnt, "pnp_inliers": 0})
+            # not enough map points: constant-velocity fallback from the
+            # nearest registered predecessors (identity-extend at the start)
+            prev = [f for f in range(i) if registered[f]]
+            if len(prev) >= 2:
+                cams[i] = 2 * cams[prev[-1]] - cams[prev[-2]]
+            else:
+                cams[i] = cams[prev[-1]] if prev else 0.0
+            stats_of[i] = {"map_pts": cnt, "pnp_inliers": 0}
         else:
             pres = solve_pnp(jnp.asarray(p3), jnp.asarray(p2), kj,
                              jnp.asarray(pm), config.pnp)
             cams[i, :3] = np.asarray(pres.rvec)
             cams[i, 3:] = np.asarray(pres.tvec)
-            frame_stats.append({"map_pts": cnt,
-                                "pnp_inliers": int(pres.num_inliers)})
+            stats_of[i] = {"map_pts": cnt,
+                           "pnp_inliers": int(pres.num_inliers)}
+        registered[i] = True
 
-        # triangulate tracks observed in (i-1, i) that lack a landmark
-        mprev = pair_matches[i - 1]
-        new_rows = [j for j in range(len(mprev))
-                    if track_of[i - 1, mprev[j, 0]] >= 0
-                    and lm_of_track[track_of[i - 1, mprev[j, 0]]] < 0]
-        if new_rows:
-            q_idx = mprev[new_rows, 0]
-            t_idx = mprev[new_rows, 1]
+        # triangulate unlandmarked tracks seen in frame i against their
+        # FIRST registered observation — the widest available baseline
+        # (consecutive-pair baselines vanish as temporal sampling densifies)
+        kps_i = np.nonzero(track_of[i] >= 0)[0]
+        trs_i = track_of[i, kps_i]
+        f0s = tr_first_frame[trs_i]
+        cand = (lm_of_track[trs_i] < 0) & (f0s >= 0) & (f0s != i)
+        for f0 in np.unique(f0s[cand]):
+            rows = kps_i[cand & (f0s == f0)][:pad]
+            trs_r = track_of[i, rows]
+            kp0 = tr_first_kp[trs_r]
+            nn = len(rows)
             px1 = np.zeros((pad, 2), np.float32)
             px2 = np.zeros((pad, 2), np.float32)
-            nn = len(new_rows)
-            px1[:nn] = np.stack([obs[i - 1][0][q_idx],
-                                 obs[i - 1][1][q_idx]], axis=1)
-            px2[:nn] = np.stack([obs[i][0][t_idx], obs[i][1][t_idx]], axis=1)
+            px1[:nn] = np.stack([obs_x[f0, kp0], obs_y[f0, kp0]], axis=1)
+            px2[:nn] = np.stack([obs_x[i, rows], obs_y[i, rows]], axis=1)
             pts_w, depth_ok, cosang = _triangulate_pair(
-                jnp.asarray(cams[i - 1]), jnp.asarray(cams[i]),
+                jnp.asarray(cams[f0]), jnp.asarray(cams[i]),
                 jnp.asarray(px1), jnp.asarray(px2), kinv)
             pts_w = np.asarray(pts_w)
             good = np.asarray(depth_ok) & (np.asarray(cosang) < min_cos)
             for j in range(nn):
                 if not good[j] or n_lms >= lm_cap:
                     continue
-                tr = track_of[i - 1, q_idx[j]]
+                tr = trs_r[j]
                 if lm_of_track[tr] >= 0:
                     continue   # another row of this batch claimed the track
                 landmarks[n_lms] = pts_w[j]
                 lm_valid[n_lms] = True
                 lm_of_track[tr] = n_lms
                 n_lms += 1
+        note_first_obs(i)
 
         # local BA over everything registered so far (drift control)
-        rebuild_obs(i)
+        rebuild_obs()
         run_ba(config.local_ba)
 
+    frame_stats = [stats_of[i] for i in sorted(stats_of)]
     # --- final global BA + outlier prune + re-solve
-    n_obs = rebuild_obs(n_frames - 1)
+    n_obs = rebuild_obs()
     prob0 = BAProblem(
         cameras=jnp.asarray(cams), landmarks=jnp.asarray(landmarks),
         intrinsics=intr, cam_idx=jnp.asarray(ob_ci),

@@ -124,6 +124,28 @@ class TestSfmEndToEnd:
         for st in res.frame_stats:
             assert st["pnp_inliers"] >= 20, res.frame_stats
 
+    def test_long_sequence_golden(self):
+        """32-frame 480p golden with RPE (VERDICT r2 task 6b). ~10 min on
+        the 2-core CPU runner — the heaviest test in the slow tier; the
+        locked values live in goldens/sfm_long.json (regenerate with
+        scripts/make_goldens.py --sfm-long)."""
+        from compv_tpu.slam.evaluate import rpe_rmse
+        from compv_tpu.slam.sfm import SfmConfig
+        long_path = os.path.join(os.path.dirname(GOLDEN_PATH),
+                                 "sfm_long.json")
+        with open(long_path) as f:
+            g = json.load(f)
+        seq = g["sequence"]
+        frames, gt, k = render_orbit_sequence(seq["n_frames"], seq["h"],
+                                              seq["w"])
+        res = run_sfm(frames, k,
+                      SfmConfig(max_obs=65536, max_landmarks=8192))
+        ate = float(ate_rmse(jnp.asarray(res.positions), jnp.asarray(gt),
+                             with_scale=True))
+        rpe = float(rpe_rmse(jnp.asarray(res.positions), jnp.asarray(gt)))
+        assert ate <= 2.0 * g["ate_rmse"], (ate, g["ate_rmse"])
+        assert rpe <= 2.0 * g["rpe_rmse"], (rpe, g["rpe_rmse"])
+
     def test_renderer_deterministic(self, sfm_run):
         """Renderer-only determinism: same seed -> identical frames/gt.
         (run_sfm determinism itself is bounded by the golden assert above,
