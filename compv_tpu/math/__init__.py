@@ -22,5 +22,6 @@ from compv_tpu.math.pca import (  # noqa: F401
 from compv_tpu.math.ops import (  # noqa: F401
     add, sub, mul_elementwise, abs_, minmax, clip, scale_values, cast,
     tanh_activation, logistic_activation, relu, fast_exp, fast_atan2_deg,
+    atan2_deg_exact,
     hypot_, image_moments, hu_moments,
 )

@@ -143,10 +143,34 @@ class TestOps:
         np.testing.assert_allclose(h1[1], h2[1], atol=5e-6)
 
     def test_atan2_deg(self):
+        # polynomial approximation (reference fastAtan2 coefficients):
+        # bounded error vs the transcendental, not bit-equality
         d = float(cmath.fast_atan2_deg(jnp.asarray(1.0), jnp.asarray(1.0)))
-        assert abs(d - 45) < 1e-4
+        assert abs(d - 45) < 0.05
         d = float(cmath.fast_atan2_deg(jnp.asarray(-1.0), jnp.asarray(0.0)))
-        assert abs(d - 270) < 1e-4
+        assert abs(d - 270) < 0.05
+
+    def test_fast_atan2_error_bound(self):
+        rs = np.random.default_rng(0)
+        y = rs.normal(0, 3, 5000).astype(np.float32)
+        x = rs.normal(0, 3, 5000).astype(np.float32)
+        fa = np.asarray(cmath.fast_atan2_deg(jnp.asarray(y), jnp.asarray(x)))
+        ex = np.asarray(cmath.atan2_deg_exact(jnp.asarray(y), jnp.asarray(x)))
+        d = np.abs(fa - ex)
+        d = np.minimum(d, 360 - d)      # wrap at 0/360
+        assert d.max() < 0.02
+
+    def test_saturating_int_ops(self):
+        a = jnp.asarray([250, 10, 128], jnp.uint8)
+        b = jnp.asarray([10, 20, 2], jnp.uint8)
+        np.testing.assert_array_equal(np.asarray(cmath.add(a, b)),
+                                      [255, 30, 130])
+        np.testing.assert_array_equal(np.asarray(cmath.sub(a, b)),
+                                      [240, 0, 126])
+        np.testing.assert_array_equal(
+            np.asarray(cmath.mul_elementwise(a, b)), [255, 200, 255])
+        # floats stay exact
+        assert float(cmath.add(jnp.float32(1.5), jnp.float32(2.25))) == 3.75
 
 
 class TestSvm:
