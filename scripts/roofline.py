@@ -222,6 +222,22 @@ def main():
         rows[-1]["extra"] = f"{1.0 / t:.1f} BA steps/s"
 
     # ---------------- report
+    # merge with rows cached by earlier (possibly partial) runs so the
+    # table can be built kernel-by-kernel: tunnel compiles are ~25 s each,
+    # so one full-table process regularly outlives its timeout
+    import json
+    root0 = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(root0, "scripts", ".roofline_rows.json")
+    merged = {}
+    if os.path.exists(cache):
+        with open(cache) as fh:
+            merged = json.load(fh)
+    for r in rows:
+        merged[r["name"]] = r
+    with open(cache, "w") as fh:
+        json.dump(merged, fh, indent=1)
+    rows = list(merged.values())
+
     hdr = (f"device: {kind} | peaks: bf16 {p_mxu_bf16/1e12:.0f} TFLOP/s, "
            f"int8 {p_mxu_i8/1e12:.0f} TOP/s, HBM {p_hbm/1e9:.0f} GB/s, "
            f"VPU(f32) {p_vpu/1e12:.1f} Top/s")
