@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
+import tempfile
 from typing import Iterator
 
 import numpy as np
@@ -182,25 +183,52 @@ class FfmpegWriter:
                  gray: bool = False, crf: int = 23):
         if shutil.which("ffmpeg") is None:
             raise RuntimeError("ffmpeg binary not available in this image")
+        if width % 2 or height % 2:
+            # yuv420p subsamples chroma 2x2; odd dims make ffmpeg abort
+            # mid-stream, which would only surface as a BrokenPipeError
+            raise ValueError(
+                f"FfmpegWriter needs even dimensions for yuv420p output, "
+                f"got {width}x{height} (pad or crop the frame first)")
         self.w, self.h, self.gray = width, height, gray
         fmt = "gray" if gray else "rgb24"
+        # stderr goes to an unlinked temp file (not a PIPE: a full pipe
+        # buffer would deadlock against our stdin writes) so close() can
+        # report the encoder's actual complaint on failure
+        self._err = tempfile.TemporaryFile()
         self.proc = subprocess.Popen(
             ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", fmt,
              "-s", f"{width}x{height}", "-r", str(fps), "-i", "-",
              "-an", "-pix_fmt", "yuv420p", "-crf", str(crf), path],
             stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL)
+            stderr=self._err)
 
     def write(self, frame: np.ndarray) -> None:
         frame = np.ascontiguousarray(frame, np.uint8)
         exp = (self.h, self.w) if self.gray else (self.h, self.w, 3)
         if frame.shape != exp:
             raise ValueError(f"frame shape {frame.shape} != {exp}")
-        self.proc.stdin.write(frame.tobytes())
+        try:
+            self.proc.stdin.write(frame.tobytes())
+        except BrokenPipeError:
+            raise RuntimeError(
+                "ffmpeg exited mid-stream: " + self._err_tail()) from None
+
+    def _err_tail(self, nbytes: int = 2048) -> str:
+        try:
+            self._err.seek(0, 2)
+            size = self._err.tell()
+            self._err.seek(max(0, size - nbytes))
+            return self._err.read().decode("utf-8", "replace").strip()
+        except Exception:
+            return "<stderr unavailable>"
 
     def close(self) -> None:
         self.proc.stdin.close()
-        self.proc.wait()
+        rc = self.proc.wait()
+        tail = self._err_tail()
+        self._err.close()
+        if rc != 0:
+            raise RuntimeError(f"ffmpeg encode failed (rc={rc}): {tail}")
 
     def __enter__(self):
         return self

@@ -23,29 +23,48 @@ def _saturate(v, dtype):
     return jnp.clip(v, info.min, info.max).astype(dtype)
 
 
+def _int_op(a, b, op, mul=False):
+    """Integer path: saturating for <=16-bit dtypes (deliberate EXTENSION —
+    the reference's compv_math_op_add/sub family is float32-only SIMD with
+    plain wrapping C integer fallbacks, base/math/compv_math_op_add.cxx;
+    saturation here matches what the image pipeline wants from u8 math and
+    is noted as a divergence in COMPONENTS.md). 32-bit dtypes wrap, exactly
+    like the reference's C arithmetic (a 64-bit accumulator would need
+    jax_enable_x64).
+
+    Accumulator choice (exactness proof): add/sub of <=16-bit values fit
+    int32 (|sum| <= 2^17, and int32 holds the negative range unsigned
+    subtract needs before clipping to 0); products fit int32 when signed
+    (|p| <= 2^30) but need uint32 when unsigned (uint16^2 <= 2^32-2^17+1,
+    and unsigned operands can't go negative)."""
+    dt = jnp.result_type(a)
+    if jnp.iinfo(dt).bits > 16:
+        return op(jnp.asarray(a), jnp.asarray(b, dt)).astype(dt)
+    acc = jnp.uint32 if (mul and jnp.iinfo(dt).min == 0) else jnp.int32
+    return _saturate(op(a.astype(acc), jnp.asarray(b, acc)), dt)
+
+
 def add(a, b):
-    """Saturating add for integer dtypes (the reference's SIMD op kernels
-    use saturating arithmetic: PADDUSB-style semantics,
-    base/math/compv_math_op_sub.cxx family); plain add for floats."""
+    """Saturating add for <=16-bit integer dtypes, wrapping for wider ints
+    (matching the reference's C fallback), plain add for floats."""
     if jnp.issubdtype(jnp.result_type(a), jnp.integer):
-        return _saturate(a.astype(jnp.int32) + jnp.asarray(b, jnp.int32),
-                         jnp.result_type(a))
+        return _int_op(a, b, jnp.add)
     return jnp.add(a, b)
 
 
 def sub(a, b):
-    """Saturating subtract for integer dtypes; plain subtract for floats."""
+    """Saturating subtract for <=16-bit integer dtypes; see add()."""
     if jnp.issubdtype(jnp.result_type(a), jnp.integer):
-        return _saturate(a.astype(jnp.int32) - jnp.asarray(b, jnp.int32),
-                         jnp.result_type(a))
+        return _int_op(a, b, jnp.subtract)
     return jnp.subtract(a, b)
 
 
 def mul_elementwise(a, b):
-    """Saturating elementwise multiply for integer dtypes."""
+    """Saturating elementwise multiply for <=16-bit integer dtypes; see
+    add(). The uint16 case accumulates in uint32 (products to 2^32-2^17+1
+    are exact), the int16 case in int32."""
     if jnp.issubdtype(jnp.result_type(a), jnp.integer):
-        return _saturate(a.astype(jnp.int32) * jnp.asarray(b, jnp.int32),
-                         jnp.result_type(a))
+        return _int_op(a, b, jnp.multiply, mul=True)
     return jnp.multiply(a, b)
 
 

@@ -231,8 +231,14 @@ def main():
     merged = {}
     if os.path.exists(cache):
         with open(cache) as fh:
-            merged = json.load(fh)
+            loaded = json.load(fh)
+        # rows cached by a run on a different device kind were measured
+        # against different peaks — drop them rather than print them under
+        # this device's header (ADVICE r3)
+        merged = {k: v for k, v in loaded.items()
+                  if v.get("device") == kind}
     for r in rows:
+        r["device"] = kind
         merged[r["name"]] = r
     with open(cache, "w") as fh:
         json.dump(merged, fh, indent=1)

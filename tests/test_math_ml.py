@@ -172,6 +172,32 @@ class TestOps:
         # floats stay exact
         assert float(cmath.add(jnp.float32(1.5), jnp.float32(2.25))) == 3.75
 
+    def test_saturating_16bit_ops(self):
+        # ADVICE r3: uint16*uint16 must saturate to 65535, not wrap through
+        # an int32 accumulator to 0
+        a = jnp.asarray([60000, 40000, 3], jnp.uint16)
+        b = jnp.asarray([60000, 40000, 4], jnp.uint16)
+        np.testing.assert_array_equal(
+            np.asarray(cmath.mul_elementwise(a, b)), [65535, 65535, 12])
+        np.testing.assert_array_equal(np.asarray(cmath.add(a, b)),
+                                      [65535, 65535, 7])
+        np.testing.assert_array_equal(
+            np.asarray(cmath.sub(jnp.asarray([5, 40000], jnp.uint16),
+                                 jnp.asarray([9, 1], jnp.uint16))),
+            [0, 39999])
+        s = jnp.asarray([30000, -30000, 180], jnp.int16)
+        np.testing.assert_array_equal(
+            np.asarray(cmath.mul_elementwise(s, s)), [32767, 32767, 32400])
+        np.testing.assert_array_equal(np.asarray(cmath.add(s, s)),
+                                      [32767, -32768, 360])
+
+    def test_int32_ops_wrap_like_reference(self):
+        # 32-bit ints take the wrapping path (matching the reference's
+        # plain C fallback; no 64-bit accumulator without x64)
+        a = jnp.asarray([2 ** 31 - 1, 7], jnp.int32)
+        out = np.asarray(cmath.add(a, jnp.asarray([1, 1], jnp.int32)))
+        assert out[0] == np.int32(-2 ** 31) and out[1] == 8
+
 
 class TestSvm:
     def test_separable(self):
