@@ -224,6 +224,12 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
     for lv in range(config.levels):
         lh, lw = sizes[lv]
         sf = sfs[lv]
+        if lh < PATCH_DIAMETER + 2 or lw < PATCH_DIAMETER + 2:
+            # level smaller than the orientation/BRIEF patch: no keypoint
+            # can have a fully-interior patch — skip the level statically
+            # (the reference's pyramid bottoms out the same way for tiny
+            # inputs, orb_dete.cxx pyramid levels)
+            continue
         k = min(budgets[lv], lh * lw)
         level_img = img if lv == 0 else scale_image(img, lh, lw, "bilinear")
 
@@ -273,6 +279,15 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
             ),
             desc,
         ))
+
+    if not parts:
+        # image smaller than the ORB patch at every level: empty result
+        k = config.max_features
+        zf = jnp.zeros((k,), jnp.float32)
+        return OrbResult(
+            keypoints=Keypoints(zf, zf, zf, zf, jnp.zeros((k,), jnp.int32),
+                                zf, jnp.zeros((k,), bool)),
+            descriptors=jnp.zeros((k, DESC_BITS), jnp.uint8))
 
     kp_all = Keypoints(*[jnp.concatenate([getattr(p[0], fld) for p in parts])
                          for fld in Keypoints._fields])

@@ -15,3 +15,7 @@ from compv_tpu.slam.pipeline import (  # noqa: F401
 )
 from compv_tpu.slam.evaluate import umeyama_alignment, ate_rmse, rpe_rmse  # noqa: F401
 from compv_tpu.slam.ba_schur import SchurConfig, ba_solve_schur, ba_step_schur  # noqa: F401
+from compv_tpu.slam.sfm import (  # noqa: F401
+    SfmConfig, SfmResult, run_sfm, resume_sfm, sfm_ate,
+    render_orbit_sequence,
+)

@@ -12,9 +12,11 @@ Design (idiomatic JAX, scaling-book style):
   * obs    : fixed-capacity padded arrays cam_idx (O,), lm_idx (O,),
              uv (O, 2), valid (O,).
   * solver : damped Gauss-Newton; the normal system (J^T J + lam I) dx = -J^T r
-             is solved matrix-free with CG, where J v and J^T u are jvp/vjp
-             of the residual function — no explicit Jacobian, no sparse
-             bookkeeping; XLA fuses each matvec into a few dense passes.
+             is solved matrix-free with CG. The Jacobian is linearized ONCE
+             per GN step into explicit per-observation 2x6 / 2x3 blocks
+             (obs_jacobian_blocks, one vmapped jacfwd pass); each CG matvec
+             is then gathers + einsums + index-adds over those blocks — no
+             reverse-mode AD inside the CG loop, no sparse bookkeeping.
   * distributed: observations are sharded over the mesh "frame" axis inside
     shard_map; every J^T (.) / J (.) product psums partial results so each
     device holds the full (replicated) parameter update — the classic
@@ -32,7 +34,7 @@ import jax.numpy as jnp
 
 __all__ = ["BAProblem", "BAConfig", "rodrigues_to_matrix", "matrix_to_rodrigues",
            "project_points", "ba_residuals", "ba_solve", "ba_step",
-           "ba_step_reduce_scatter", "reproj_rmse"]
+           "ba_step_reduce_scatter", "reproj_rmse", "obs_jacobian_blocks"]
 
 
 # ----------------------------------------------------------------- rotations
@@ -150,6 +152,37 @@ def reproj_rmse(prob: BAProblem) -> jax.Array:
     return jnp.sqrt(jnp.sum(r * r) / (2.0 * n))
 
 
+# ----------------------------------------------------------------- blocks
+
+def obs_jacobian_blocks(cameras, landmarks, intrinsics, cam_idx, lm_idx,
+                        uv, valid):
+    """Per-observation residual + Jacobian blocks: r (O,2), A = dr/dcam
+    (O,2,6), B = dr/dlm (O,2,3), zeroed at invalid observations. One
+    vmapped jacfwd over the 9 parameters each observation touches — a
+    single fused elementwise pass, computed ONCE per GN step, so the CG
+    loop never re-traces AD (r3 fix: the old jvp/vjp-per-matvec path
+    re-linearized the whole residual every CG iteration and its vjp
+    lowered to TPU-hostile giant scatter graphs)."""
+
+    def one(cam, lm, uv1):
+        def f(c, x):
+            r = rodrigues_to_matrix(c[:3])
+            pc = r @ x + c[3:]
+            z = jnp.where(jnp.abs(pc[2]) < 1e-9, 1e-9, pc[2])
+            u = intrinsics[0] * pc[0] / z + intrinsics[2]
+            v = intrinsics[1] * pc[1] / z + intrinsics[3]
+            return jnp.stack([u, v]) - uv1
+        return f(cam, lm), jax.jacfwd(f, 0)(cam, lm), jax.jacfwd(f, 1)(cam, lm)
+
+    cams_o = cameras[cam_idx]
+    lms_o = landmarks[lm_idx]
+    r, a, b = jax.vmap(one)(cams_o, lms_o, uv)
+    m2 = valid[:, None]
+    m3 = valid[:, None, None]
+    return (jnp.where(m2, r, 0.0), jnp.where(m3, a, 0.0),
+            jnp.where(m3, b, 0.0))
+
+
 # ----------------------------------------------------------------- solver
 
 def _flatten(cams, lms):
@@ -171,19 +204,40 @@ def _gauge_mask(f: int, l: int, cfg: BAConfig, dtype) -> jax.Array:
     return _flatten(cam_m, lm_m)
 
 
-def _robustify(res_raw, x0, cfg: BAConfig, dtype):
-    """IRLS wrapper: when cfg.robust_delta > 0 the residual function is
-    whitened by Cauchy-like weights w = delta / sqrt(delta^2 + |r|^2)
-    derived from the residuals at the step's entry point x0 and FROZEN
-    (stop_gradient) for the step — the standard IRLS linearization, so
-    jvp/vjp see constant weights."""
+def _linearize(prob: BAProblem, cfg: BAConfig):
+    """Entry residuals + Jacobian blocks for one GN step, IRLS-whitened
+    when cfg.robust_delta > 0 (Cauchy-like weights w = delta /
+    sqrt(delta^2 + |r|^2) from the step's entry residuals, FROZEN for the
+    step — the standard IRLS linearization). Returns (r0 (O,2), A (O,2,6),
+    B (O,2,3), w (O,)); all already valid-masked."""
+    r, a, b = obs_jacobian_blocks(prob.cameras, prob.landmarks,
+                                  prob.intrinsics, prob.cam_idx,
+                                  prob.lm_idx, prob.uv, prob.valid)
     if cfg.robust_delta <= 0:
-        return res_raw
-    r_entry = jax.lax.stop_gradient(res_raw(x0))
-    r2 = jnp.sum(r_entry.reshape(-1, 2) ** 2, axis=1)
-    d2 = jnp.asarray(cfg.robust_delta, dtype) ** 2
-    w = jnp.repeat(jnp.sqrt(d2 / (d2 + r2)), 2)
-    return lambda x: res_raw(x) * w
+        return r, a, b, None
+    d2 = jnp.asarray(cfg.robust_delta, r.dtype) ** 2
+    w = jnp.sqrt(d2 / (d2 + jnp.sum(r * r, axis=1)))
+    return (r * w[:, None], a * w[:, None, None], b * w[:, None, None], w)
+
+
+def _jv(a, b, cam_idx, lm_idx, dc, dl):
+    """J v: per-obs 2x6 / 2x3 block products against the gathered camera /
+    landmark updates. Pure gather + einsum — TPU-shaped."""
+    return (jnp.einsum("oij,oj->oi", a, dc[cam_idx]) +
+            jnp.einsum("oik,ok->oi", b, dl[lm_idx]))
+
+
+def _jtu(a, b, cam_idx, lm_idx, u, f, l):
+    """J^T u: per-obs block products accumulated by index-add into the
+    (F,6)/(L,3) parameter tables. At BA sizes (O~1e5) XLA's TPU scatter-add
+    is ~30 us standalone and fuses into the CG loop — measured, not
+    assumed (see ROOFLINE.md ba row)."""
+    dt = u.dtype
+    gc = jnp.zeros((f, 6), dt).at[cam_idx].add(
+        jnp.einsum("oij,oi->oj", a, u))
+    gl = jnp.zeros((l, 3), dt).at[lm_idx].add(
+        jnp.einsum("oik,oi->ok", b, u))
+    return gc, gl
 
 
 def _cg(matvec, b, iters: int):
@@ -212,6 +266,13 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
             psum_axis: str | None = None):
     """One damped-GN step. Returns (new BAProblem, new lambda, cost_before).
 
+    The normal system is applied matrix-free, but with the Jacobian
+    LINEARIZED ONCE per step into explicit per-observation blocks
+    (obs_jacobian_blocks) instead of re-running jvp/vjp through the
+    projection every CG iteration: each CG matvec is then two gathers, four
+    small einsums and two index-adds (r3 VERDICT task 1 — the AD-scatter
+    path it replaces could lower pathologically under the TPU runtime).
+
     When ``psum_axis`` is given the function is being traced inside shard_map
     with observations sharded along that axis: every J/Jt product and the
     cost are psum'd so all shards apply the identical (replicated) update —
@@ -220,43 +281,36 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     l = prob.landmarks.shape[0]
     dtype = prob.cameras.dtype
     mask = _gauge_mask(f, l, cfg, dtype)
+    mc, ml = _unflatten(mask, f, l)
 
-    def res_raw(x):
-        cams, lms = _unflatten(x, f, l)
-        return ba_residuals(cams, lms, prob).ravel()
+    def psum(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis is not None else x
 
-    x0 = _flatten(prob.cameras, prob.landmarks)
-    res_flat = _robustify(res_raw, x0, cfg, dtype)
-    r0 = res_flat(x0)
-    cost = jnp.sum(r0 * r0)
-    if psum_axis is not None:
-        cost = jax.lax.psum(cost, psum_axis)
+    r0, a, b, w = _linearize(prob, cfg)
+    cost = psum(jnp.sum(r0 * r0))
 
-    _, vjp_fn = jax.vjp(res_flat, x0)
+    def jt(u):
+        gc, gl = _jtu(a, b, prob.cam_idx, prob.lm_idx, u, f, l)
+        return psum(_flatten(gc * mc, gl * ml))
 
     def jtj_mv(v):
         vm = v * mask
-        jv = jax.jvp(res_flat, (x0,), (vm,))[1]
-        jtjv = vjp_fn(jv)[0] * mask
-        if psum_axis is not None:
-            jtjv = jax.lax.psum(jtjv, psum_axis)
-        return jtjv + lam * vm
+        dc, dl = _unflatten(vm, f, l)
+        return jt(_jv(a, b, prob.cam_idx, prob.lm_idx, dc, dl)) + lam * vm
 
-    g = vjp_fn(r0)[0] * mask
-    if psum_axis is not None:
-        g = jax.lax.psum(g, psum_axis)
-
+    g = jt(r0)
     dx = _cg(jtj_mv, -g, cfg.cg_iterations)
-    x1 = x0 + dx * mask
-    r1 = res_flat(x1)
-    cost1 = jnp.sum(r1 * r1)
-    if psum_axis is not None:
-        cost1 = jax.lax.psum(cost1, psum_axis)
+    x1 = _flatten(prob.cameras, prob.landmarks) + dx * mask
+    cams1, lms1 = _unflatten(x1, f, l)
+    r1 = ba_residuals(cams1, lms1, prob)
+    if w is not None:
+        r1 = r1 * w[:, None]
+    cost1 = psum(jnp.sum(r1 * r1))
 
     improved = cost1 < cost
-    x_new = jnp.where(improved, x1, x0)
+    cams = jnp.where(improved, cams1, prob.cameras)
+    lms = jnp.where(improved, lms1, prob.landmarks)
     lam_new = jnp.where(improved, lam * 0.5, lam * 4.0)
-    cams, lms = _unflatten(x_new, f, l)
     new_prob = prob._replace(cameras=cams, landmarks=lms)
     return new_prob, lam_new, cost
 
@@ -276,15 +330,12 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     l = prob.landmarks.shape[0]
     dtype = prob.cameras.dtype
     mask = _gauge_mask(f, l, cfg, dtype)
+    mc, ml = _unflatten(mask, f, l)
     n = f * 6 + l * 3
     d = jax.lax.axis_size(axis)
     pad = -n % d
     chunk = (n + pad) // d
     my = jax.lax.axis_index(axis)
-
-    def res_raw(x):
-        cams, lms = _unflatten(x, f, l)
-        return ba_residuals(cams, lms, prob).ravel()
 
     def pad_v(v):
         return jnp.concatenate([v, jnp.zeros(pad, dtype)]) if pad else v
@@ -292,11 +343,12 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     def shard_of(v_full):
         return jax.lax.dynamic_slice(pad_v(v_full), (my * chunk,), (chunk,))
 
-    x0 = _flatten(prob.cameras, prob.landmarks)
-    res_flat = _robustify(res_raw, x0, cfg, dtype)
-    r0 = res_flat(x0)
+    r0, a, bb, w = _linearize(prob, cfg)
     cost = jax.lax.psum(jnp.sum(r0 * r0), axis)
-    _, vjp_fn = jax.vjp(res_flat, x0)
+
+    def jt_local(u):
+        gc, gl = _jtu(a, bb, prob.cam_idx, prob.lm_idx, u, f, l)
+        return _flatten(gc * mc, gl * ml)           # partial (local obs)
 
     def gather_full(v_shard):
         """Shard -> full replicated vector, INVARIANT over the axis: psum of
@@ -311,13 +363,13 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     def jtj_mv_shard(v_shard):
         v_full = gather_full(v_shard)
         vm = v_full * mask
-        jv = jax.jvp(res_flat, (x0,), (vm,))[1]
-        jtjv_local = vjp_fn(jv)[0] * mask           # partial (local obs)
-        jtjv_shard = jax.lax.psum_scatter(pad_v(jtjv_local), axis, tiled=True)
+        dc, dl = _unflatten(vm, f, l)
+        jv = _jv(a, bb, prob.cam_idx, prob.lm_idx, dc, dl)
+        jtjv_shard = jax.lax.psum_scatter(pad_v(jt_local(jv)), axis,
+                                          tiled=True)
         return jtjv_shard + lam * shard_of(vm)
 
-    g_shard = jax.lax.psum_scatter(pad_v(vjp_fn(r0)[0] * mask), axis,
-                                   tiled=True)
+    g_shard = jax.lax.psum_scatter(pad_v(jt_local(r0)), axis, tiled=True)
     b = -g_shard
 
     def pdot(a, c):
@@ -339,13 +391,16 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
         (jnp.zeros_like(b), b, b, pdot(b, b)))
 
     dx = gather_full(x_sh)
-    x1 = x0 + dx * mask
-    r1 = res_flat(x1)
+    x1 = _flatten(prob.cameras, prob.landmarks) + dx * mask
+    cams1, lms1 = _unflatten(x1, f, l)
+    r1 = ba_residuals(cams1, lms1, prob)
+    if w is not None:
+        r1 = r1 * w[:, None]
     cost1 = jax.lax.psum(jnp.sum(r1 * r1), axis)
     improved = cost1 < cost
-    x_new = jnp.where(improved, x1, x0)
+    cams = jnp.where(improved, cams1, prob.cameras)
+    lms = jnp.where(improved, lms1, prob.landmarks)
     lam_new = jnp.where(improved, lam * 0.5, lam * 4.0)
-    cams, lms = _unflatten(x_new, f, l)
     return prob._replace(cameras=cams, landmarks=lms), lam_new, cost
 
 

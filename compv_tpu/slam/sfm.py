@@ -210,10 +210,17 @@ def _dedup_matches(tidx: np.ndarray, dist: np.ndarray, ok: np.ndarray
 
 
 def run_sfm(frames: np.ndarray, k: np.ndarray,
-            config: SfmConfig = SfmConfig()) -> SfmResult:
+            config: SfmConfig = SfmConfig(),
+            checkpoint_dir: str | None = None) -> SfmResult:
     """Incremental SfM over (N, H, W) u8 frames with intrinsics K.
     Frame 0 is the world origin; global scale is arbitrary (monocular) —
-    evaluate with scale-aligned ATE (slam/evaluate.ate_rmse)."""
+    evaluate with scale-aligned ATE (slam/evaluate.ate_rmse).
+
+    When ``checkpoint_dir`` is set, the full mid-sequence state (poses,
+    landmarks, observation buffers) is checkpointed after registration and
+    BEFORE the final global BA — the kill-point resume_sfm() recovers from,
+    possibly on a different mesh size (SURVEY §5 failure/elastic recovery;
+    tests/test_sfm.py::TestCheckpointResume)."""
     n_frames = len(frames)
     kj = jnp.asarray(k, jnp.float32)
     kinv = jnp.linalg.inv(kj)
@@ -506,17 +513,83 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
     frame_stats = [stats_of[i] for i in sorted(stats_of)]
     # --- final global BA + outlier prune + re-solve
     n_obs = rebuild_obs()
+    if checkpoint_dir is not None:
+        from compv_tpu.io.serialize import save_checkpoint
+        save_checkpoint(checkpoint_dir, n_frames, {
+            "cams": cams, "landmarks": landmarks, "lm_valid": lm_valid,
+            "ob_ci": ob_ci, "ob_li": ob_li, "ob_uv": ob_uv, "ob_ok": ob_ok,
+            "k": np.asarray(k, np.float32),
+            "n_tracks": np.array([n_tracks], np.int32),
+            "n_obs": np.array([n_obs], np.int32)})
+    return _finalize_sfm(cams, landmarks, lm_valid, ob_ci, ob_li, ob_uv,
+                         ob_ok, intr, config, n_tracks, n_obs, frame_stats)
+
+
+def _finalize_sfm(cams, landmarks, lm_valid, ob_ci, ob_li, ob_uv, ob_ok,
+                  intr, config: SfmConfig, n_tracks: int, n_obs: int,
+                  frame_stats: list, mesh=None) -> SfmResult:
+    """Final global BA + outlier prune + re-solve + camera centers. With a
+    ``mesh``, each BA runs distributed (observations sharded over the mesh
+    "frame" axis, parameters replicated) — the resume path re-shards the
+    checkpointed buffers onto whatever mesh is available."""
+    n_frames = cams.shape[0]
+    cams = np.array(cams)
+    landmarks = np.array(landmarks)
+    ob_ok = np.array(ob_ok)
+
+    def solve(ci, li, uv, ok, c, lm, cfg):
+        prob = BAProblem(
+            cameras=jnp.asarray(c), landmarks=jnp.asarray(lm),
+            intrinsics=intr, cam_idx=jnp.asarray(ci),
+            lm_idx=jnp.asarray(li), uv=jnp.asarray(uv),
+            valid=jnp.asarray(ok))
+        if mesh is None:
+            solved, _ = ba_solve(prob, cfg)
+            return solved
+        from compv_tpu.parallel.sharded import distributed_ba_solve
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        d = mesh.devices.size
+        pad_n = (-len(ci)) % d
+        if pad_n:
+            zpad = lambda a, fill=0: np.concatenate(
+                [np.asarray(a),
+                 np.full((pad_n,) + np.asarray(a).shape[1:],
+                         fill, np.asarray(a).dtype)])
+            ci, li = zpad(ci), zpad(li)
+            uv, ok = zpad(uv), zpad(ok, False)
+            prob = BAProblem(
+                cameras=jnp.asarray(c), landmarks=jnp.asarray(lm),
+                intrinsics=intr, cam_idx=jnp.asarray(ci),
+                lm_idx=jnp.asarray(li), uv=jnp.asarray(uv),
+                valid=jnp.asarray(ok))
+        sh = NamedSharding(mesh, P("frame"))
+        rp = NamedSharding(mesh, P())
+        prob = BAProblem(
+            cameras=_jax.device_put(prob.cameras, rp),
+            landmarks=_jax.device_put(prob.landmarks, rp),
+            intrinsics=_jax.device_put(prob.intrinsics, rp),
+            cam_idx=_jax.device_put(prob.cam_idx, sh),
+            lm_idx=_jax.device_put(prob.lm_idx, sh),
+            uv=_jax.device_put(prob.uv, sh),
+            valid=_jax.device_put(prob.valid, sh))
+        solved, _ = distributed_ba_solve(prob, mesh, cfg)
+        return solved
+
     prob0 = BAProblem(
         cameras=jnp.asarray(cams), landmarks=jnp.asarray(landmarks),
         intrinsics=intr, cam_idx=jnp.asarray(ob_ci),
         lm_idx=jnp.asarray(ob_li), uv=jnp.asarray(ob_uv),
         valid=jnp.asarray(ob_ok))
     before = float(reproj_rmse(prob0))
-    solved = run_ba(config.ba)
+    solved = solve(ob_ci, ob_li, ob_uv, ob_ok, cams, landmarks, config.ba)
+    cams = np.asarray(solved.cameras[:n_frames])
+    landmarks = np.asarray(solved.landmarks)
     # prune observations the robust kernel flagged as outliers, re-solve
     r = np.asarray(ba_residuals(solved.cameras, solved.landmarks, solved))
-    ob_ok[:] = (np.linalg.norm(r, axis=1) <= config.prune_px) & ob_ok
-    solved = run_ba(config.ba)
+    ob_ok[:] = (np.linalg.norm(r[:len(ob_ok)], axis=1)
+                <= config.prune_px) & ob_ok
+    solved = solve(ob_ci, ob_li, ob_uv, ob_ok, cams, landmarks, config.ba)
     after = float(reproj_rmse(solved))
 
     cams_f = np.asarray(solved.cameras)
@@ -526,9 +599,43 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
         centers[i] = -r.T @ cams_f[i, 3:]
     lms_out = np.asarray(solved.landmarks)
     return SfmResult(positions=centers, cameras=cams_f, landmarks=lms_out,
-                     landmark_valid=lm_valid, reproj_before=before,
+                     landmark_valid=np.array(lm_valid),
+                     reproj_before=before,
                      reproj_after=after, num_tracks=n_tracks, num_obs=n_obs,
                      frame_stats=frame_stats)
+
+
+def resume_sfm(checkpoint_path: str, config: SfmConfig = SfmConfig(),
+               mesh=None) -> SfmResult:
+    """Resume an SfM run from a checkpoint written by run_sfm(...,
+    checkpoint_dir=...): reload the mid-sequence state and complete the
+    final global BA + prune + re-solve — on ``mesh`` if given, which may
+    be a DIFFERENT size than the mesh (or single device) the checkpoint
+    was written under. This is the §5 elastic-recovery contract: state is
+    mesh-agnostic (replicated parameters + resharding-friendly observation
+    buffers), so a job killed at N devices resumes at M."""
+    from compv_tpu.io.serialize import load_checkpoint
+    like = {"cams": np.zeros((0, 6), np.float32),
+            "landmarks": np.zeros((0, 3), np.float32),
+            "lm_valid": np.zeros((0,), bool),
+            "ob_ci": np.zeros((0,), np.int32),
+            "ob_li": np.zeros((0,), np.int32),
+            "ob_uv": np.zeros((0, 2), np.float32),
+            "ob_ok": np.zeros((0,), bool),
+            "k": np.zeros((3, 3), np.float32),
+            "n_tracks": np.zeros((1,), np.int32),
+            "n_obs": np.zeros((1,), np.int32)}
+    st = load_checkpoint(checkpoint_path, like)
+    intr_mat = np.asarray(st["k"])
+    intr = jnp.asarray([intr_mat[0, 0], intr_mat[1, 1],
+                        intr_mat[0, 2], intr_mat[1, 2]], jnp.float32)
+    return _finalize_sfm(np.asarray(st["cams"]), np.asarray(st["landmarks"]),
+                         np.asarray(st["lm_valid"]), np.asarray(st["ob_ci"]),
+                         np.asarray(st["ob_li"]), np.asarray(st["ob_uv"]),
+                         np.asarray(st["ob_ok"]), intr, config,
+                         int(np.asarray(st["n_tracks"]).ravel()[0]),
+                         int(np.asarray(st["n_obs"]).ravel()[0]), [],
+                         mesh=mesh)
 
 
 def sfm_ate(frames: np.ndarray, gt_centers: np.ndarray, k: np.ndarray,

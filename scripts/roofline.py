@@ -193,33 +193,64 @@ def main():
                          jnp.ones(O, bool))
         cfg = BAConfig(cg_iterations=20)
 
-        # NOTE: wrapping ba_step in the fori_loop slope harness faults the
-        # TPU worker (reproducible kernel fault in the axon tunnel);
-        # sequential dispatch of the same jitted step is fine, so time the
-        # chained-dispatch slope instead (step output feeds the next step,
-        # so the queue can't collapse; per-call overhead cancels in the
-        # 1-vs-N difference).
+        # NOTE (r3 postmortem): the 16.5 s/step recorded in round 3 was a
+        # transient tunnel/runtime pathology, not a property of the code —
+        # the identical commit re-measured at 0.31 ms/step in round 4.
+        # The step now linearizes per-obs Jacobian blocks once (A/B ~7 MB
+        # stay VMEM-resident across the fused CG fori_loop) so each matvec
+        # is gathers+einsums+index-adds with near-zero HBM traffic.
+        # Chained-dispatch slope (step output feeds the next step, so the
+        # queue can't collapse; per-call overhead cancels in the 1-vs-N
+        # difference).
         step = jax.jit(lambda p, lam: ba_step(p, lam, cfg)[0])
         lam = jnp.float32(1e-3)
         p1 = step(prob, lam)
         jax.block_until_ready(p1)
 
-        def run(nit):
+        def run(nit, fn=None):
+            fn = fn or step
             t0 = time.perf_counter()
             p = prob
             for _ in range(nit):
-                p = step(p, lam)
+                p = fn(p, lam)
             jax.block_until_ready(p)
             return time.perf_counter() - t0
-        run(5)
-        t = max((run(60) - run(5)) / 55, 1e-7)
-        # per CG iter: jvp + vjp of the per-obs projection (~300 flop each
-        # direction per obs) + gathers; 20 CG iters + 1 residual pass
-        ops = O * 600 * 20
-        bytes_ = 20 * O * (6 * 4 + 3 * 4 + 2 * 4 + 8) * 2
+        run(50)
+        # the explicit-block step is tens-of-us; 2000-vs-200 chained calls
+        # keeps the slope well above timer/queue noise
+        t = max((run(2000) - run(200)) / 1800, 1e-7)
+        # model: linearize (one jacfwd pass ~300 flop/obs) + 21 matvec-
+        # equivalents x (Jv 18 MAC + JtU 18 MAC = 72 flop)/obs; blocks are
+        # VMEM-resident so HBM bytes = blocks in/out once. NB: measured
+        # throughput lands ABOVE the f32 VPU peak — XLA maps the batched
+        # block einsums onto the MXU, so the VPU row is a lower bound on
+        # the unit, not a violation.
+        ops = O * 300 + 21 * O * 72
+        bytes_ = O * (2 + 12 + 6) * 4 * 2
         add(f"ba_step_O{O}_F{F} (1 chip)", t, bytes_, ops, "vpu",
-            "matrix-free GN: 20 CG iters of jvp/vjp over obs")
+            "explicit-block GN: 20 CG iters over VMEM-resident A/B blocks"
+            " (einsums partly on MXU; >100% of VPU-only bound expected)")
         rows[-1]["extra"] = f"{1.0 / t:.1f} BA steps/s"
+
+        # Schur direct step at the same scale (chunked W assembly)
+        from compv_tpu.slam.ba_schur import (SchurConfig, ba_step_schur,
+                                             max_obs_per_landmark)
+        kmax = max_obs_per_landmark(prob.lm_idx, prob.valid, L)
+        scfg = SchurConfig()
+        sstep = jax.jit(lambda p, lam: ba_step_schur(
+            p, lam, scfg, max_obs_per_lm=kmax)[0])
+        jax.block_until_ready(sstep(prob, lam))
+        ts = max((run(12, sstep) - run(2, sstep)) / 10, 1e-7)
+        # model: dominated by the chunked S build: one (F*6, Lc*3) x
+        # (Lc*3, F*6) einsum per chunk over L/Lc chunks + one (6F)^3/3
+        # Cholesky solve
+        nch = -(-L // scfg.lm_chunk)
+        ops_s = nch * 2 * (F * 6) ** 2 * (scfg.lm_chunk * 3) \
+            + (6 * F) ** 3 // 3
+        bytes_s = L * kmax * 18 * 4 * 4 + (F * 6) ** 2 * 4
+        add(f"ba_schur_O{O}_F{F} (1 chip)", ts, bytes_s, ops_s, "bf16",
+            "chunked S=Hcc-W Y W^T assembly (f32 MXU einsums) + dense solve")
+        rows[-1]["extra"] = f"{1.0 / ts:.1f} Schur steps/s"
 
     # ---------------- report
     # merge with rows cached by earlier (possibly partial) runs so the

@@ -36,6 +36,31 @@ class TestShardedDetect:
         np.testing.assert_allclose(np.asarray(x), np.asarray(lx))
         np.testing.assert_array_equal(np.asarray(desc), np.asarray(ldesc))
 
+    def test_full_orb_matches_local(self, frames):
+        """r3 VERDICT task 4: the multi-chip frontend must be the REAL
+        product pipeline (8-level pyramid ORB with budgets, sub-pixel and
+        blur), asserted per-frame against the single-device path."""
+        from compv_tpu.features.orb import OrbConfig, orb_detect_describe
+        from compv_tpu.parallel.sharded import sharded_orb_detect
+        mesh = make_mesh(8)
+        cfg = OrbConfig(max_features=128)
+        res = sharded_orb_detect(jnp.asarray(frames), mesh, cfg)
+        local = jax.vmap(
+            lambda im: orb_detect_describe(im, cfg))(jnp.asarray(frames))
+        np.testing.assert_array_equal(np.asarray(res.keypoints.valid),
+                                      np.asarray(local.keypoints.valid))
+        np.testing.assert_allclose(np.asarray(res.keypoints.x),
+                                   np.asarray(local.keypoints.x),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.keypoints.y),
+                                   np.asarray(local.keypoints.y),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.keypoints.orientation),
+                                   np.asarray(local.keypoints.orientation),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(res.descriptors),
+                                      np.asarray(local.descriptors))
+
     def test_all_pairs_symmetric_diag_zero(self, frames):
         mesh = make_mesh(8)
         _, _, _, valid, desc = sharded_detect(jnp.asarray(frames), mesh,

@@ -154,3 +154,43 @@ class TestSfmEndToEnd:
         frames2, gt2, k2 = render_orbit_sequence(8, 240, 320)
         assert np.array_equal(frames1, frames2)
         assert np.array_equal(gt1, gt2)
+
+
+class TestCheckpointResume:
+    """SURVEY §5 failure/elastic recovery (r3 VERDICT task 6): a mid-SfM
+    checkpoint must reload onto a DIFFERENT mesh size and resume to the
+    same quality. Fast tier: tiny 6-frame sequence."""
+
+    def test_checkpoint_reshard_resume(self, tmp_path):
+        from compv_tpu.parallel.mesh import make_mesh
+        from compv_tpu.slam.sfm import SfmConfig, resume_sfm
+
+        frames, gt, k = render_orbit_sequence(6, 120, 160)
+        cfg = SfmConfig(max_obs=4096, max_landmarks=1024)
+        # direct run, checkpointing the mid-sequence state (all frames
+        # registered, before the final global BA)
+        res_direct = run_sfm(frames, k, cfg, checkpoint_dir=str(tmp_path))
+        ate_direct = float(ate_rmse(jnp.asarray(res_direct.positions),
+                                    jnp.asarray(gt), with_scale=True))
+        ckpts = sorted(os.listdir(tmp_path))
+        assert ckpts, "no checkpoint written"
+        path = os.path.join(str(tmp_path), ckpts[-1])
+
+        # simulate the job dying and restarting on a 4-device mesh (the
+        # original ran single-device): reload + re-shard + finish
+        res4 = resume_sfm(path, cfg, mesh=make_mesh(4))
+        ate4 = float(ate_rmse(jnp.asarray(res4.positions),
+                              jnp.asarray(gt), with_scale=True))
+        span = float(np.linalg.norm(gt[-1] - gt[0]))
+        # the contract under test is resume == direct quality (absolute
+        # ATE bars live in the 240x320/480p goldens above; this 120x160
+        # scene is deliberately tiny for the fast tier)
+        assert ate4 <= max(1.5 * ate_direct, 0.03 * span), \
+            (ate4, ate_direct)
+        assert ate4 < 0.15 * span, (ate4, span)   # sanity: not diverged
+        # ...and again on a different mesh size (8): same state, new shards
+        res8 = resume_sfm(path, cfg, mesh=make_mesh(8))
+        ate8 = float(ate_rmse(jnp.asarray(res8.positions),
+                              jnp.asarray(gt), with_scale=True))
+        assert ate8 <= max(1.5 * ate_direct, 0.03 * span), \
+            (ate8, ate_direct)
