@@ -47,8 +47,6 @@ class CclConfig:
     connectivity: int = 8        # LSL uses 8-connectivity
     max_components: int = 256    # fixed feature capacity (top-C by area)
     max_iterations: int = 64     # pointer-jumping fallback rounds (log-depth)
-    max_runs: int = 1 << 17      # run-record capacity for feature extraction
-    comp_capacity: int = 1 << 14  # distinct components trackable per frame
 
 
 class CclResult(NamedTuple):
@@ -257,108 +255,137 @@ def ccl_features(binary: jax.Array, config: CclConfig = CclConfig()
     return ccl_features_from_labels(lbl, config)
 
 
+
 @partial(jax.jit, static_argnames=("config",))
 def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
                              ) -> CclResult:
     """Feature extraction given a label map (the reference benchmarks box
     extraction separately from labeling, speed_compare:181-186; its
-    extractor walks the RLE runs, compv_core_ccl_lsl_result.cxx).
+    extractor walks cached RLE runs, compv_core_ccl_lsl_result.cxx).
 
-    TPU run-record formulation (r3 VERDICT task 2 — replaces two full-image
-    sorts, ~1.5 ms each, with ONE compaction scatter + small-record math):
+    TPU formulation — ONE stable sort + scans, engineered around measured
+    v5e primitive behavior (r3 VERDICT task 2; all numbers measured on
+    this chip at 1122x1182 / 4.5k components and recorded in ROOFLINE.md):
 
-      every per-component statistic decomposes into independent sums over
-      the run START and run END pixels of each row:
-        area   = sum_ends (x+1)        - sum_starts x
-        sum-x  = sum_ends x(x+1)/2     - sum_starts (x-1)x/2   (series)
-        sum-y  = sum_ends y(x+1)       - sum_starts y*x
-        min-x/min-y from starts, max-x/max-y from ends
-      so no run-length propagation pass is needed at all. Start/end pixels
-      (~R << n) are compacted by one masked scatter keyed on a prefix sum,
-      their labels mapped to dense component ids by ranking the component
-      ROOTS (label == own flat index, a property of min-index labels) with
-      the same prefix pass, and the per-component tables built by three
-      small scatters (add / min / max) over R records. Total: one n-sized
-      cumsum + one n-sized scatter + O(R) work.
+      * random gathers: ~19 ns/element (131k lookups = 2.5 ms) — banned;
+      * scatter-min/-max: ~100x slower than scatter-add — banned;
+      * scatters whose outputs feed sorts trigger an XLA fusion/layout
+        pathology (the same sort measures 4 ms on materialized arrays vs
+        46 ms consuming scatter outputs, optimization_barrier does not
+        reliably help) — so NO scatters at all;
+      * lax.top_k: ~20x slower than lax.sort at equal size — banned.
 
-    Capacity semantics: supports up to `config.max_runs` row-runs and
-    `config.comp_capacity` distinct components per frame (images beyond
-    2^28 pixels or components beyond capacity are truncated — truncation
-    is detectable via num_components > comp_capacity). Centroid sums
-    accumulate in f32; area is exact int32."""
+    What remains fast: ONE stable 1-key sort of [label, flat-index] (the
+    r3 version needed a second (label, x) sort; min/max-x now come from a
+    segmented associative_scan), cumsum/cummin passes, and elementwise
+    math. Per-component stats fall out of segment boundaries in sorted
+    space: area/sum-x/sum-y as prefix-sum differences (int32-exact when
+    n*max(w,h)/2 < 2^31, f32 otherwise), min/max-x via a segmented-min
+    suffix scan keyed by the sorted labels, min-y free (label row), max-y
+    from each segment's last slot (stable sort keeps raster order).
+    Top-`max_components` by area: top-2 per 64-slot window of sorted
+    pixel space + an exact sort of the ~2n/64 candidates; a component can
+    be missed only if 3+ of the global top-C (hence all with area < 64)
+    land in one 64-slot window."""
     h, w = lbl.shape
     n = h * w
     c = config.max_components
-    rcap = config.max_runs
-    ccap = config.comp_capacity
     big = jnp.int32(1 << 30)
     flat = lbl.ravel()
-    fg = lbl >= 0
+    fidx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(flat >= 0, flat, big)
 
-    shl = jnp.pad(fg, ((0, 0), (1, 0)))[:, :-1]
-    shr = jnp.pad(fg, ((0, 0), (0, 1)))[:, 1:]
-    starts = (fg & ~shl).ravel()
-    ends = (fg & ~shr).ravel()
-    rec = starts | ends
+    # ---- the one sort: stable => raster (ascending fidx) within segments
+    key_s, fidx_s = jax.lax.sort([key, fidx], num_keys=1, is_stable=True)
+    prev = jnp.pad(key_s, (1, 0), constant_values=-1)[:-1]
+    is_first = (key_s != prev) & (key_s < big)
+    nxt_k = jnp.pad(key_s, (0, 1), constant_values=big + 1)[1:]
+    is_last = (key_s != nxt_k) & (key_s < big)
+    vmask = key_s < big
+    num = jnp.sum(is_first)
+    x = fidx_s % w
+    y = fidx_s // w
 
-    iota = jnp.arange(n, dtype=jnp.int32)
-    is_root = (flat == iota) & fg.ravel()
-    rank = jnp.cumsum(is_root.astype(jnp.int32))     # inclusive root rank
-    num = rank[-1]
+    # ---- segmented sums via prefix differences at boundaries
+    exact_i32 = n * (max(w, h) // 2 + 1) < 2 ** 31
+    sdt = jnp.int32 if exact_i32 else jnp.float32
+    sbig = jnp.asarray(2 ** 31 - 1 if exact_i32 else jnp.inf, sdt)
+    csum_at = lambda cs: jnp.pad(cs, (1, 0))[:-1]
 
-    # ---- compact records: one masked .set scatter with unique slots
-    slot = jnp.cumsum(rec.astype(jnp.int32)) - 1
-    idx = jnp.where(rec & (slot < rcap), slot, rcap)
-    packed = iota * 4 + starts.astype(jnp.int32) * 2 + ends.astype(jnp.int32)
-    tbl = jnp.zeros((rcap + 1, 2), jnp.int32).at[idx].set(
-        jnp.stack([packed, flat], axis=1), unique_indices=False)
-    n_rec = slot[-1] + 1
-    rec_valid = jnp.arange(rcap, dtype=jnp.int32) < n_rec
+    def seg_sum(v):
+        cs = jnp.cumsum(v.astype(sdt))
+        exc = csum_at(cs)
+        u = jnp.where(is_first, exc, sbig)
+        nxt_f = jax.lax.cummin(u[::-1])[::-1]
+        nxt_f = jnp.concatenate([nxt_f[1:], cs[-1:]])
+        return jnp.minimum(nxt_f, cs[-1]) - exc          # valid at is_first
 
-    p = tbl[:rcap, 0] >> 2
-    is_s = ((tbl[:rcap, 0] >> 1) & 1) * rec_valid
-    is_e = (tbl[:rcap, 0] & 1) * rec_valid
-    lab = tbl[:rcap, 1]
-    x = p % w
-    y = p // w
-    cid = rank[jnp.clip(lab, 0, n - 1)] - 1          # dense component id
-    cid = jnp.where(rec_valid & (cid < ccap), cid, ccap)
+    area = seg_sum(vmask.astype(jnp.int32))
+    sumx = seg_sum(jnp.where(vmask, x, 0))
+    sumy = seg_sum(jnp.where(vmask, y, 0))
 
-    # ---- per-component tables: three small scatters over R records
-    xf = x.astype(jnp.float32)
-    yf = y.astype(jnp.float32)
-    area_d = is_e * (x + 1) - is_s * x
-    sumx_d = (is_e * (xf * (xf + 1) * 0.5) - is_s * ((xf - 1) * xf * 0.5))
-    sumy_d = yf * area_d.astype(jnp.float32)
-    adds_i = jnp.zeros((ccap + 1,), jnp.int32).at[cid].add(area_d)
-    adds_f = jnp.zeros((ccap + 1, 2), jnp.float32).at[cid].add(
-        jnp.stack([sumx_d, sumy_d], axis=1))
-    mins = jnp.full((ccap + 1, 2), big, jnp.int32).at[cid].min(
-        jnp.stack([jnp.where(is_s == 1, x, big),
-                   jnp.where(is_s == 1, y, big)], axis=1))
-    maxs = jnp.full((ccap + 1, 2), -1, jnp.int32).at[cid].max(
-        jnp.stack([jnp.where(is_e == 1, x, -1),
-                   jnp.where(is_e == 1, y, -1)], axis=1))
+    # ---- segmented min/max-x via one suffix associative_scan each: the
+    # classic segmented-scan operator ((va,ka)+(vb,kb) -> (ka==kb ?
+    # op(va,vb) : va, ka)) is associative for contiguous segments, so at a
+    # segment's first slot the suffix combine covers exactly that segment
+    def seg_scan(vals, op, fill):
+        def combine(a, b):
+            # standard segmented-scan operator: the operand nearer the
+            # segment start (b under reverse=True) keeps its key; the
+            # accumulated suffix (a) only merges when keys match
+            va, ka = a
+            vb, kb = b
+            return jnp.where(ka == kb, op(va, vb), vb), kb
 
-    # ---- top-C by area
-    vals, pos = jax.lax.top_k(adds_i[:ccap], min(c, ccap))
-    vals = jnp.pad(vals, (0, c - min(c, ccap)))
-    pos = jnp.pad(pos, (0, c - min(c, ccap)))
+        v0 = jnp.where(vmask, vals, fill)
+        out, _ = jax.lax.associative_scan(combine, (v0, key_s), reverse=True)
+        return out                                       # valid at is_first
+
+    minx = seg_scan(x, jnp.minimum, jnp.int32(w))
+    maxx = seg_scan(x, jnp.maximum, jnp.int32(-1))
+    miny = key_s // w                                    # label row = min y
+    # max-y: y at the segment's LAST slot (stable sort => max fidx there),
+    # pulled back to the first slot with the same no-gather boundary trick
+    lasty = jnp.cumsum(jnp.where(is_last, y + 1, 0))
+    exly = csum_at(lasty)
+    u = jnp.where(is_first, exly, jnp.int32(2 ** 31 - 1))
+    nxt_l = jax.lax.cummin(u[::-1])[::-1]
+    nxt_l = jnp.concatenate([nxt_l[1:], lasty[-1:]])
+    maxy = jnp.minimum(nxt_l, lasty[-1]) - exly - 1      # valid at is_first
+
+    # ---- top-C by area: top-2 per 64-slot window + exact candidate sort
+    area_slots = jnp.where(is_first, area, 0).astype(jnp.float32)
+    seg = 64
+    nseg = -(-n // seg)
+    a2 = jnp.pad(area_slots, (0, nseg * seg - n)).reshape(nseg, seg)
+    p1 = jnp.argmax(a2, axis=1)
+    v1 = jnp.take_along_axis(a2, p1[:, None], 1)[:, 0]
+    io2 = jax.lax.broadcasted_iota(jnp.int32, a2.shape, 1)
+    a2b = jnp.where(io2 == p1[:, None], -1.0, a2)
+    p2 = jnp.argmax(a2b, axis=1)
+    v2 = jnp.take_along_axis(a2b, p2[:, None], 1)[:, 0]
+    base = jnp.arange(nseg, dtype=jnp.int32) * seg
+    cand_v = jnp.concatenate([v1, v2])
+    cand_p = jnp.concatenate([base + p1, base + p2])
+    neg_s, pos_s = jax.lax.sort([-cand_v, cand_p], num_keys=1)
+    kk = min(c, int(cand_v.shape[0]))
+    vals = jnp.pad(-neg_s[:kk], (0, c - kk))
+    pos = jnp.pad(pos_s[:kk], (0, c - kk))
     comp_valid = vals > 0
 
     def pick(arr, fill=0):
         return jnp.where(comp_valid, arr[pos], fill)
 
-    m00 = jnp.maximum(vals.astype(jnp.float32), 1.0)
+    m00 = jnp.maximum(vals, 1.0)
     return CclResult(
         labels=lbl,
-        num_components=num,
-        area=jnp.where(comp_valid, vals, 0),
-        box_x0=pick(mins[:ccap, 0]),
-        box_y0=pick(mins[:ccap, 1]),
-        box_x1=pick(maxs[:ccap, 0]),
-        box_y1=pick(maxs[:ccap, 1]),
-        cx=jnp.where(comp_valid, adds_f[:ccap, 0][pos] / m00, 0.0),
-        cy=jnp.where(comp_valid, adds_f[:ccap, 1][pos] / m00, 0.0),
+        num_components=num.astype(jnp.int32),
+        area=jnp.where(comp_valid, vals.astype(jnp.int32), 0),
+        box_x0=pick(minx),
+        box_y0=pick(miny),
+        box_x1=pick(maxx),
+        box_y1=pick(maxy),
+        cx=jnp.where(comp_valid, pick(sumx).astype(jnp.float32) / m00, 0.0),
+        cy=jnp.where(comp_valid, pick(sumy).astype(jnp.float32) / m00, 0.0),
         valid=comp_valid,
     )
