@@ -263,23 +263,18 @@ def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
     extraction separately from labeling, speed_compare:181-186; its
     extractor walks cached RLE runs, compv_core_ccl_lsl_result.cxx).
 
-    TPU formulation — ONE stable sort + scans, engineered around measured
-    v5e primitive behavior (r3 VERDICT task 2; all numbers measured on
-    this chip at 1122x1182 / 4.5k components and recorded in ROOFLINE.md):
+    TPU formulation (r3 VERDICT task 2): ONE stable 1-key sort of
+    [label, flat-index] — the r3 version needed a second (label, x) sort;
+    min/max-x now come from a segmented associative_scan over the one
+    sorted order instead — plus cumsum/cummin passes and elementwise
+    math; no scatters, data-dependent gathers, or lax.top_k anywhere
+    (scatter-min/max and top_k lower poorly on this backend, and a sort
+    over image-derived arrays is the one irregular-grouping primitive
+    that benchmarks dependably; see ROOFLINE.md for the r4 measurement
+    methodology caveats).
 
-      * random gathers: ~19 ns/element (131k lookups = 2.5 ms) — banned;
-      * scatter-min/-max: ~100x slower than scatter-add — banned;
-      * scatters whose outputs feed sorts trigger an XLA fusion/layout
-        pathology (the same sort measures 4 ms on materialized arrays vs
-        46 ms consuming scatter outputs, optimization_barrier does not
-        reliably help) — so NO scatters at all;
-      * lax.top_k: ~20x slower than lax.sort at equal size — banned.
-
-    What remains fast: ONE stable 1-key sort of [label, flat-index] (the
-    r3 version needed a second (label, x) sort; min/max-x now come from a
-    segmented associative_scan), cumsum/cummin passes, and elementwise
-    math. Per-component stats fall out of segment boundaries in sorted
-    space: area/sum-x/sum-y as prefix-sum differences (int32-exact when
+    Per-component stats fall out of segment boundaries in sorted space:
+    area/sum-x/sum-y as prefix-sum differences (int32-exact when
     n*max(w,h)/2 < 2^31, f32 otherwise), min/max-x via a segmented-min
     suffix scan keyed by the sorted labels, min-y free (label row), max-y
     from each segment's last slot (stable sort keeps raster order).

@@ -142,8 +142,12 @@ def _lookup_sorted(table_keys, table_vals, queries, invalid_key):
     return (out % 2) == 1, out // 2
 
 
-@partial(jax.jit, static_argnames=("config", "shape"))
-def _mser_impl(img: jax.Array, config: MserConfig, shape) -> MserResult:
+@partial(jax.jit, static_argnames=("config", "shape", "_stage"))
+def _mser_impl(img: jax.Array, config: MserConfig, shape,
+               _stage: int = 0) -> MserResult:
+    """_stage is profiling instrumentation: 1 = stop after the labeling
+    ladder, 2 = + per-level area extraction, 3 = + variation/stability
+    tables, 0 = full pipeline (the only supported product value)."""
     h, w = shape
     n = h * w
     on_tpu = jax.default_backend() == "tpu"
@@ -200,6 +204,12 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape) -> MserResult:
         level_step_fn, carry0, jnp.asarray(all_levels, jnp.int32))
     # labels_flat: (L, n) — flattened in-step so no (L, h, w) -> (L, n)
     # relayout copy is needed for the cross-level gathers below
+    if _stage == 1:
+        z = jnp.sum(labels_flat[:, 0]) + jnp.sum(cnts_all[:, 0])
+        zi = jnp.zeros((config.max_regions,), jnp.int32) + z
+        zf = zi.astype(jnp.float32)
+        return MserResult(zi, zi, zi, zi, zf, zi, zi, zi, zi,
+                          zi > 0, jnp.int32(0))
 
     # ---------------- per-level exact component areas (sort + seg-sum)
     ks, cs = jax.lax.sort([keys_all, cnts_all], dimension=1, num_keys=1)
@@ -224,6 +234,12 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape) -> MserResult:
     cand_root = jnp.where(o_s[:, :cap] < _BIG, root_s[:, :cap], -1)  # (L,cap)
     cand_area = jnp.where(cand_root >= 0, area_s[:, :cap], 0)
     over_cand = jnp.sum(cand_mask.astype(jnp.int32), axis=1) > cap
+    if _stage == 2:
+        z = jnp.sum(cand_area[:, 0]) + jnp.sum(cand_root[:, 0])
+        zi = jnp.zeros((config.max_regions,), jnp.int32) + z
+        zf = zi.astype(jnp.float32)
+        return MserResult(zi, zi, zi, zi, zf, zi, zi, zi, zi,
+                          zi > 0, jnp.int32(0))
 
     invalid = jnp.int32(n + 1)
     tbl_root = jnp.where(cand_root >= 0, cand_root, invalid)  # (L, cap)
@@ -273,6 +289,13 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape) -> MserResult:
     ok = (valid_c & is_min_up & is_min_dn & (areas <= amax)
           & (var <= config.max_variation))
     score = jnp.where(ok, var, np.inf)
+    if _stage == 3:
+        z = jnp.sum(jnp.where(jnp.isfinite(score), score, 0.0)
+                    ).astype(jnp.int32)
+        zi = jnp.zeros((config.max_regions,), jnp.int32) + z
+        zf = zi.astype(jnp.float32)
+        return MserResult(zi, zi, zi, zi, zf, zi, zi, zi, zi,
+                          zi > 0, jnp.int32(0))
 
     # ---------------- top-R regions: per-level top-R then global top-R
     r_cap = config.max_regions
