@@ -75,8 +75,12 @@ class MserConfig:
     max_candidates: int = 1024   # per-level capacity for components with
                                  # area >= min_area (text scans measure a
                                  # few hundred); overflow sets `overflowed`
-    strip_rounds: int = 256      # per-8-row-strip distinct-label capacity
-                                 # in the TPU histogram kernel
+    strip_rounds: int = 640      # per-8-row-strip distinct-label capacity
+                                 # in the TPU histogram kernel (640 covers
+                                 # noisy scans whose speckle thresholds
+                                 # reach ~600 labels/strip; the kernel's
+                                 # while-loop is content-adaptive so unused
+                                 # capacity costs nothing — r4)
 
 
 class MserResult(NamedTuple):
@@ -179,11 +183,13 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape,
             if on_tpu:
                 from compv_tpu.ops.pallas.label_stats import \
                     strip_label_counts
-                recs = strip_label_counts(lbl, rounds)
-                keys = jnp.where(recs[:, 0, :] < 0, _BIG,
-                                 recs[:, 0, :]).ravel()
-                cnts = recs[:, 1, :].ravel()
-                over = jnp.sum((recs[:, 0, -1] >= 0).astype(jnp.int32))
+                recs, used, trunc = strip_label_counts(lbl, rounds)
+                in_use = (jax.lax.broadcasted_iota(
+                    jnp.int32, recs.shape[::2], 1) < used[:, None])
+                keys = jnp.where(in_use & (recs[:, 0, :] >= 0),
+                                 recs[:, 0, :], _BIG).ravel()
+                cnts = jnp.where(in_use, recs[:, 1, :], 0).ravel()
+                over = jnp.sum(trunc)
             else:
                 flat = lbl.ravel()
                 keys = jnp.where(flat >= 0, flat, _BIG)

@@ -27,18 +27,11 @@ __all__ = ["strip_label_counts"]
 _BIG = 1 << 30
 
 
-def _counts_kernel(lbl_ref, out_ref, *, rounds):
+def _counts_kernel(lbl_ref, out_ref, meta_ref, *, rounds):
     lbl = lbl_ref[:]
     big = jnp.int32(_BIG)
     l = jnp.where(lbl < 0, big, lbl)
     first = jnp.min(l)
-
-    def init_body(k, _):
-        out_ref[0, 0, k] = -1
-        out_ref[0, 1, k] = 0
-        return 0
-
-    jax.lax.fori_loop(0, rounds, init_body, 0)
 
     def cond(st):
         k, cur = st
@@ -52,31 +45,42 @@ def _counts_kernel(lbl_ref, out_ref, *, rounds):
         nxt = jnp.min(jnp.where(l > cur, l, big))
         return k + 1, nxt
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), first))
+    k_end, cur_end = jax.lax.while_loop(cond, body, (jnp.int32(0), first))
+    # slots >= k_end are UNINITIALIZED — consumers must mask by k_end.
+    # (the r3 version pre-zeroed every slot in a fori_loop: at 640 rounds
+    # x 148 strips x 51 MSER levels that is ~10M scalar SMEM stores,
+    # ~35 ms/frame of pure init)
+    meta_ref[0, 0, 0] = k_end
+    meta_ref[0, 0, 1] = (cur_end < big).astype(jnp.int32)  # truncated?
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "strip_rows"))
 def strip_label_counts(labels: jax.Array, rounds: int = 256,
                        strip_rows: int = 8):
-    """(H, W) i32 labels (-1 = background) -> (S, 2, rounds) i32 records:
-    out[s, 0, k] = k-th distinct label in strip s (ascending, -1 unused),
-    out[s, 1, k] = its pixel count within the strip. A strip holding more
-    than `rounds` distinct labels truncates (detect via out[s,0,-1] != -1).
-    """
+    """(H, W) i32 labels (-1 = background) -> per-strip distinct-label
+    records. Returns (records (S, 2, rounds) i32, used (S,) i32,
+    truncated (S,) i32):
+      records[s, 0, k] = k-th distinct label in strip s (ascending),
+      records[s, 1, k] = its pixel count within the strip,
+      valid only for k < used[s] — later slots are UNINITIALIZED;
+      truncated[s] = 1 when the strip held more than `rounds` labels."""
     h, w = labels.shape
     hp = -(-h // strip_rows) * strip_rows
     wp = -(-w // 128) * 128
     lp = jnp.full((hp, wp), -1, jnp.int32).at[:h, :w].set(labels)
     n_strips = hp // strip_rows
-    out = pl.pallas_call(
+    out, meta = pl.pallas_call(
         functools.partial(_counts_kernel, rounds=rounds),
         grid=(n_strips,),
         in_specs=[pl.BlockSpec((strip_rows, wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 2, rounds), lambda i: (i, 0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_strips, 2, rounds), jnp.int32),
+        out_specs=(pl.BlockSpec((1, 2, rounds), lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM),
+                   pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n_strips, 2, rounds), jnp.int32),
+                   jax.ShapeDtypeStruct((n_strips, 1, 2), jnp.int32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(lp)
-    return out
+    return out, meta[:, 0, 0], meta[:, 0, 1]
