@@ -220,21 +220,41 @@ def _linearize(prob: BAProblem, cfg: BAConfig):
     return (r * w[:, None], a * w[:, None, None], b * w[:, None, None], w)
 
 
-def _jv(a, b, cam_idx, lm_idx, dc, dl):
+_ONEHOT_BYTES_CAP = 256 << 20   # skip the camera one-hot above 256 MB
+
+
+def _cam_onehot(cam_idx, f: int, dtype):
+    """(F, O) camera one-hot, or None when it would exceed the memory cap.
+    Replacing the camera-side gather/scatter-add with matmuls against this
+    (loop-invariant, so XLA hoists the build out of the CG loop) measures
+    2x per CG matvec at O=1e5/F=256 on v5e — TPU gathers/scatters cost
+    ~5 ns/row-element while the MXU streams the one-hot at HBM rate."""
+    o = cam_idx.shape[0]
+    if f * o * jnp.dtype(dtype).itemsize > _ONEHOT_BYTES_CAP:
+        return None
+    return (cam_idx[None, :] == jnp.arange(f)[:, None]).astype(dtype)
+
+
+def _jv(a, b, cam_idx, lm_idx, dc, dl, onehot_c=None):
     """J v: per-obs 2x6 / 2x3 block products against the gathered camera /
-    landmark updates. Pure gather + einsum — TPU-shaped."""
-    return (jnp.einsum("oij,oj->oi", a, dc[cam_idx]) +
+    landmark updates. The camera gather runs as onehot^T @ dc on the MXU
+    when the one-hot fits (gather-by-matmul, exact)."""
+    dc_o = dc[cam_idx] if onehot_c is None else onehot_c.T @ dc
+    return (jnp.einsum("oij,oj->oi", a, dc_o) +
             jnp.einsum("oik,ok->oi", b, dl[lm_idx]))
 
 
-def _jtu(a, b, cam_idx, lm_idx, u, f, l):
-    """J^T u: per-obs block products accumulated by index-add into the
-    (F,6)/(L,3) parameter tables. At BA sizes (O~1e5) XLA's TPU scatter-add
-    is ~30 us standalone and fuses into the CG loop — measured, not
-    assumed (see ROOFLINE.md ba row)."""
+def _jtu(a, b, cam_idx, lm_idx, u, f, l, onehot_c=None):
+    """J^T u: per-obs block products accumulated into the (F,6)/(L,3)
+    parameter tables — camera side as one matmul against the one-hot when
+    available, landmark side as an index-add (an (L,O) one-hot would not
+    fit; the landmark scatter is the remaining indexed op per matvec)."""
     dt = u.dtype
-    gc = jnp.zeros((f, 6), dt).at[cam_idx].add(
-        jnp.einsum("oij,oi->oj", a, u))
+    au = jnp.einsum("oij,oi->oj", a, u)
+    if onehot_c is None:
+        gc = jnp.zeros((f, 6), dt).at[cam_idx].add(au)
+    else:
+        gc = onehot_c @ au
     gl = jnp.zeros((l, 3), dt).at[lm_idx].add(
         jnp.einsum("oik,oi->ok", b, u))
     return gc, gl
@@ -288,15 +308,17 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
 
     r0, a, b, w = _linearize(prob, cfg)
     cost = psum(jnp.sum(r0 * r0))
+    ohc = _cam_onehot(prob.cam_idx, f, dtype)
 
     def jt(u):
-        gc, gl = _jtu(a, b, prob.cam_idx, prob.lm_idx, u, f, l)
+        gc, gl = _jtu(a, b, prob.cam_idx, prob.lm_idx, u, f, l, ohc)
         return psum(_flatten(gc * mc, gl * ml))
 
     def jtj_mv(v):
         vm = v * mask
         dc, dl = _unflatten(vm, f, l)
-        return jt(_jv(a, b, prob.cam_idx, prob.lm_idx, dc, dl)) + lam * vm
+        return jt(_jv(a, b, prob.cam_idx, prob.lm_idx, dc, dl, ohc)) \
+            + lam * vm
 
     g = jt(r0)
     dx = _cg(jtj_mv, -g, cfg.cg_iterations)
@@ -345,9 +367,10 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
 
     r0, a, bb, w = _linearize(prob, cfg)
     cost = jax.lax.psum(jnp.sum(r0 * r0), axis)
+    ohc = _cam_onehot(prob.cam_idx, f, dtype)
 
     def jt_local(u):
-        gc, gl = _jtu(a, bb, prob.cam_idx, prob.lm_idx, u, f, l)
+        gc, gl = _jtu(a, bb, prob.cam_idx, prob.lm_idx, u, f, l, ohc)
         return _flatten(gc * mc, gl * ml)           # partial (local obs)
 
     def gather_full(v_shard):
@@ -364,7 +387,7 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
         v_full = gather_full(v_shard)
         vm = v_full * mask
         dc, dl = _unflatten(vm, f, l)
-        jv = _jv(a, bb, prob.cam_idx, prob.lm_idx, dc, dl)
+        jv = _jv(a, bb, prob.cam_idx, prob.lm_idx, dc, dl, ohc)
         jtjv_shard = jax.lax.psum_scatter(pad_v(jt_local(jv)), axis,
                                           tiled=True)
         return jtjv_shard + lam * shard_of(vm)

@@ -225,8 +225,8 @@ def main():
         ops = O * 300 + 21 * O * 72
         bytes_ = 21 * O * 9 * 4 * 2
         add(f"ba_step_O{O}_F{F} (1 chip)", t, bytes_, ops, "vpu",
-            "explicit-block GN: 20 CG iters of gather/einsum/scatter-add "
-            "matvecs (359x the r3 AD-scatter path's 16.6 s/step)")
+            "explicit-block GN: 20 CG iters; camera side as one-hot MXU "
+            "matmuls, landmark side index-add (597x the r3 AD path)")
         rows[-1]["extra"] = f"{1.0 / t:.1f} BA steps/s"
 
         # Schur direct step at the same scale (chunked W assembly)
@@ -330,12 +330,15 @@ def main():
         "  assuming 1 op/element and lane-perfect packing of the 13-wide",
         "  hi factor.",
         "- **ba_step**: the r3 16.5 s/step for the AD-scatter path was",
-        "  real (re-confirmed 16.6 s/step with value-synced timing); the",
-        "  r4 explicit-block rewrite is 359x faster at 46 ms/step. The",
-        "  remaining bound is per-matvec indexed traffic (2 gathers + 2",
-        "  scatter-adds of O rows ~ 5 ns/row-element); the next rung, if",
-        "  needed, is obs-sorted segment-sum scans for the landmark side",
-        "  and a persistent one-hot matmul for the camera side.",
+        "  real (re-confirmed 16.6 s/step with value-synced timing). The",
+        "  r4 explicit-block rewrite measured 46 ms/step; replacing the",
+        "  camera-side gather/scatter with matmuls against a hoisted",
+        "  (F, O) one-hot halved the CG matvec (1.92 -> 0.95 ms) for",
+        "  27.8 ms/step total — 597x the AD path. Remaining per-matvec",
+        "  cost splits between the landmark-side gather+index-add (an",
+        "  (L, O) one-hot would not fit) and the per-step linearize/",
+        "  residual passes; the next rungs are block-Jacobi PCG (fewer",
+        "  matvecs) and one-hot reuse inside the linearizer.",
         "- **wolf/histogram/fast9** are HBM-streaming kernels; their GB/s",
         "  column is the honest utilization number.",
         "- **ccl box extraction** (not listed; measured in bench as",
