@@ -155,14 +155,15 @@ def reproj_rmse(prob: BAProblem) -> jax.Array:
 # ----------------------------------------------------------------- blocks
 
 def obs_jacobian_blocks(cameras, landmarks, intrinsics, cam_idx, lm_idx,
-                        uv, valid):
+                        uv, valid, onehot_c=None):
     """Per-observation residual + Jacobian blocks: r (O,2), A = dr/dcam
     (O,2,6), B = dr/dlm (O,2,3), zeroed at invalid observations. One
     vmapped jacfwd over the 9 parameters each observation touches — a
     single fused elementwise pass, computed ONCE per GN step, so the CG
     loop never re-traces AD (r3 fix: the old jvp/vjp-per-matvec path
     re-linearized the whole residual every CG iteration and its vjp
-    lowered to TPU-hostile giant scatter graphs)."""
+    lowered to TPU-hostile giant scatter graphs). ``onehot_c`` reuses the
+    step's camera one-hot for the (O, 6) parameter gather."""
 
     def one(cam, lm, uv1):
         def f(c, x):
@@ -174,7 +175,7 @@ def obs_jacobian_blocks(cameras, landmarks, intrinsics, cam_idx, lm_idx,
             return jnp.stack([u, v]) - uv1
         return f(cam, lm), jax.jacfwd(f, 0)(cam, lm), jax.jacfwd(f, 1)(cam, lm)
 
-    cams_o = cameras[cam_idx]
+    cams_o = cameras[cam_idx] if onehot_c is None else onehot_c.T @ cameras
     lms_o = landmarks[lm_idx]
     r, a, b = jax.vmap(one)(cams_o, lms_o, uv)
     m2 = valid[:, None]
@@ -204,7 +205,7 @@ def _gauge_mask(f: int, l: int, cfg: BAConfig, dtype) -> jax.Array:
     return _flatten(cam_m, lm_m)
 
 
-def _linearize(prob: BAProblem, cfg: BAConfig):
+def _linearize(prob: BAProblem, cfg: BAConfig, onehot_c=None):
     """Entry residuals + Jacobian blocks for one GN step, IRLS-whitened
     when cfg.robust_delta > 0 (Cauchy-like weights w = delta /
     sqrt(delta^2 + |r|^2) from the step's entry residuals, FROZEN for the
@@ -212,7 +213,8 @@ def _linearize(prob: BAProblem, cfg: BAConfig):
     B (O,2,3), w (O,)); all already valid-masked."""
     r, a, b = obs_jacobian_blocks(prob.cameras, prob.landmarks,
                                   prob.intrinsics, prob.cam_idx,
-                                  prob.lm_idx, prob.uv, prob.valid)
+                                  prob.lm_idx, prob.uv, prob.valid,
+                                  onehot_c)
     if cfg.robust_delta <= 0:
         return r, a, b, None
     d2 = jnp.asarray(cfg.robust_delta, r.dtype) ** 2
@@ -221,6 +223,22 @@ def _linearize(prob: BAProblem, cfg: BAConfig):
 
 
 _ONEHOT_BYTES_CAP = 256 << 20   # skip the camera one-hot above 256 MB
+
+
+def _residuals_o(cams, lms, prob: BAProblem, onehot_c):
+    """ba_residuals with the camera gather routed through the step's
+    one-hot matmul (identical math; see _cam_onehot)."""
+    if onehot_c is None:
+        return ba_residuals(cams, lms, prob)
+    cams_o = onehot_c.T @ cams                       # (O, 6)
+    lms_o = lms[prob.lm_idx]
+    rm = jax.vmap(rodrigues_to_matrix)(cams_o[:, :3])
+    pc = jnp.einsum("oij,oj->oi", rm, lms_o) + cams_o[:, 3:]
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+    u = prob.intrinsics[0] * pc[:, 0] / z + prob.intrinsics[2]
+    v = prob.intrinsics[1] * pc[:, 1] / z + prob.intrinsics[3]
+    r = jnp.stack([u, v], axis=1) - prob.uv
+    return jnp.where(prob.valid[:, None], r, 0.0)
 
 
 def _cam_onehot(cam_idx, f: int, dtype):
@@ -306,9 +324,9 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     def psum(x):
         return jax.lax.psum(x, psum_axis) if psum_axis is not None else x
 
-    r0, a, b, w = _linearize(prob, cfg)
-    cost = psum(jnp.sum(r0 * r0))
     ohc = _cam_onehot(prob.cam_idx, f, dtype)
+    r0, a, b, w = _linearize(prob, cfg, ohc)
+    cost = psum(jnp.sum(r0 * r0))
 
     def jt(u):
         gc, gl = _jtu(a, b, prob.cam_idx, prob.lm_idx, u, f, l, ohc)
@@ -324,7 +342,7 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     dx = _cg(jtj_mv, -g, cfg.cg_iterations)
     x1 = _flatten(prob.cameras, prob.landmarks) + dx * mask
     cams1, lms1 = _unflatten(x1, f, l)
-    r1 = ba_residuals(cams1, lms1, prob)
+    r1 = _residuals_o(cams1, lms1, prob, ohc)
     if w is not None:
         r1 = r1 * w[:, None]
     cost1 = psum(jnp.sum(r1 * r1))
@@ -365,9 +383,9 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     def shard_of(v_full):
         return jax.lax.dynamic_slice(pad_v(v_full), (my * chunk,), (chunk,))
 
-    r0, a, bb, w = _linearize(prob, cfg)
-    cost = jax.lax.psum(jnp.sum(r0 * r0), axis)
     ohc = _cam_onehot(prob.cam_idx, f, dtype)
+    r0, a, bb, w = _linearize(prob, cfg, ohc)
+    cost = jax.lax.psum(jnp.sum(r0 * r0), axis)
 
     def jt_local(u):
         gc, gl = _jtu(a, bb, prob.cam_idx, prob.lm_idx, u, f, l, ohc)
@@ -416,7 +434,7 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     dx = gather_full(x_sh)
     x1 = _flatten(prob.cameras, prob.landmarks) + dx * mask
     cams1, lms1 = _unflatten(x1, f, l)
-    r1 = ba_residuals(cams1, lms1, prob)
+    r1 = _residuals_o(cams1, lms1, prob, ohc)
     if w is not None:
         r1 = r1 * w[:, None]
     cost1 = jax.lax.psum(jnp.sum(r1 * r1), axis)

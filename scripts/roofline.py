@@ -333,12 +333,13 @@ def main():
         "  real (re-confirmed 16.6 s/step with value-synced timing). The",
         "  r4 explicit-block rewrite measured 46 ms/step; replacing the",
         "  camera-side gather/scatter with matmuls against a hoisted",
-        "  (F, O) one-hot halved the CG matvec (1.92 -> 0.95 ms) for",
-        "  27.8 ms/step total — 597x the AD path. Remaining per-matvec",
-        "  cost splits between the landmark-side gather+index-add (an",
-        "  (L, O) one-hot would not fit) and the per-step linearize/",
-        "  residual passes; the next rungs are block-Jacobi PCG (fewer",
-        "  matvecs) and one-hot reuse inside the linearizer.",
+        "  (F, O) one-hot halved the CG matvec (1.92 -> 0.95 ms), and",
+        "  routing the linearizer's and residual passes' camera gathers",
+        "  through the same one-hot brought the step to 22.8 ms — 727x",
+        "  the AD path, 43.8 GN steps/s. Remaining cost splits between",
+        "  the landmark-side gather+index-add (an (L, O) one-hot would",
+        "  not fit) and the jacfwd linearize; the next rung is",
+        "  block-Jacobi PCG (fewer matvecs).",
         "- **wolf/histogram/fast9** are HBM-streaming kernels; their GB/s",
         "  column is the honest utilization number.",
         "- **ccl box extraction** (not listed; measured in bench as",
