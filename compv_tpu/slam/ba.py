@@ -117,6 +117,19 @@ class BAConfig:
                                 # observations with residual norm >> delta px
                                 # (weights frozen per GN step, re-derived
                                 # from the step's entry residual)
+    precondition: bool = False  # block-Jacobi PCG: per-camera 6x6 and
+                                # per-landmark 3x3 diagonal blocks of
+                                # J^T J + lam, inverted per step. Helps on
+                                # small dense problems (tests/test_ba.py:
+                                # CG=30 quality at 15 iters) but HURTS at
+                                # sparse production scale (measured on
+                                # v5e, 256 cams/100k obs: rmse 0.38 vs
+                                # 0.05 after 10 GN steps — few-observation
+                                # landmark blocks are near-singular and
+                                # the inverse amplifies their noise), so
+                                # it stays opt-in. Supported in ba_step
+                                # (incl. psum mode); the reduce-scatter
+                                # variant ignores it.
 
 
 def project_points(cameras: jax.Array, landmarks: jax.Array,
@@ -225,6 +238,27 @@ def _linearize(prob: BAProblem, cfg: BAConfig, onehot_c=None):
 _ONEHOT_BYTES_CAP = 256 << 20   # skip the camera one-hot above 256 MB
 
 
+def inv3x3_spd(m):
+    """Batched closed-form (adjugate) 3x3 inverse for damped SPD blocks
+    (det > 0 by construction). Pure elementwise VPU math — jnp.linalg.inv
+    would lower to a batched LU, which serializes badly on TPU at
+    L ~ 2e4. Shared by the Schur solver and the PCG preconditioner."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    ca = e * i - f * h
+    cb = f * g - d * i
+    cc = d * h - e * g
+    det = a * ca + b * cb + c * cc
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([ca, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([cb, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([cc, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def _residuals_o(cams, lms, prob: BAProblem, onehot_c):
     """ba_residuals with the camera gather routed through the step's
     one-hot matmul (identical math; see _cam_onehot)."""
@@ -278,12 +312,15 @@ def _jtu(a, b, cam_idx, lm_idx, u, f, l, onehot_c=None):
     return gc, gl
 
 
-def _cg(matvec, b, iters: int):
-    """Plain conjugate gradient, fixed iteration count (static for XLA)."""
+def _cg(matvec, b, iters: int, precond=None):
+    """Conjugate gradient, fixed iteration count (static for XLA);
+    ``precond`` (z = M^-1 r) enables the standard PCG recurrence."""
+    apply_m = precond if precond is not None else (lambda r: r)
     x0 = jnp.zeros_like(b)
     r0 = b
-    p0 = r0
-    rs0 = jnp.dot(r0, r0)
+    z0 = apply_m(r0)
+    p0 = z0
+    rs0 = jnp.dot(r0, z0)
 
     def body(_, state):
         x, r, p, rs = state
@@ -291,9 +328,10 @@ def _cg(matvec, b, iters: int):
         alpha = rs / jnp.maximum(jnp.dot(p, ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.dot(r, r)
+        z = apply_m(r)
+        rs_new = jnp.dot(r, z)
         beta = rs_new / jnp.maximum(rs, 1e-30)
-        p = r + beta * p
+        p = z + beta * p
         return x, r, p, rs_new
 
     x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, p0, rs0))
@@ -338,8 +376,32 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
         return jt(_jv(a, b, prob.cam_idx, prob.lm_idx, dc, dl, ohc)) \
             + lam * vm
 
+    precond = None
+    if cfg.precondition:
+        # block-Jacobi preconditioner: the diagonal 6x6 / 3x3 blocks of
+        # J^T J + lam, inverted once per step (camera side assembled via
+        # the one-hot matmul when available). The gauge-fixed camera-0
+        # block is masked anyway; lam > 0 keeps every block SPD.
+        aa = jnp.einsum("oia,oib->oab", a, a).reshape(-1, 36)
+        if ohc is None:
+            hcc = jnp.zeros((f, 36), dtype).at[prob.cam_idx].add(aa)
+        else:
+            hcc = ohc @ aa
+        bb2 = jnp.einsum("oia,oib->oab", b, b).reshape(-1, 9)
+        hll = jnp.zeros((l, 9), dtype).at[prob.lm_idx].add(bb2)
+        hcc = psum(hcc).reshape(f, 6, 6) + lam * jnp.eye(6, dtype=dtype)
+        hll = psum(hll).reshape(l, 3, 3) + lam * jnp.eye(3, dtype=dtype)
+        minv_c = jnp.linalg.inv(hcc)
+        minv_l = inv3x3_spd(hll)
+
+        def precond(r):
+            rc, rl = _unflatten(r * mask, f, l)
+            zc = jnp.einsum("fab,fb->fa", minv_c, rc)
+            zl = jnp.einsum("lab,lb->la", minv_l, rl)
+            return _flatten(zc, zl) * mask
+
     g = jt(r0)
-    dx = _cg(jtj_mv, -g, cfg.cg_iterations)
+    dx = _cg(jtj_mv, -g, cfg.cg_iterations, precond)
     x1 = _flatten(prob.cameras, prob.landmarks) + dx * mask
     cams1, lms1 = _unflatten(x1, f, l)
     r1 = _residuals_o(cams1, lms1, prob, ohc)

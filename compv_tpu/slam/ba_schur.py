@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from compv_tpu.slam.ba import (BAProblem, ba_residuals, obs_jacobian_blocks)
+from compv_tpu.slam.ba import (BAProblem, ba_residuals,
+                               inv3x3_spd, obs_jacobian_blocks)
 
 __all__ = ["SchurConfig", "ba_step_schur", "ba_solve_schur",
            "max_obs_per_landmark"]
@@ -60,28 +61,6 @@ def max_obs_per_landmark(lm_idx, valid, num_landmarks: int) -> int:
     li = np.asarray(lm_idx)[np.asarray(valid)]
     k = int(np.bincount(li, minlength=num_landmarks).max()) if li.size else 1
     return max(4, -4 * (-k // 4))
-
-
-def _inv3x3_spd(m):
-    """Batched closed-form (adjugate) 3x3 inverse for the DAMPED landmark
-    Hessian blocks (SPD by construction: J^T J + lam I with lam > 0, so
-    det > 0 and no singular fallback is needed). Pure elementwise VPU math —
-    jnp.linalg.inv would lower to a batched LU, which serializes badly on
-    TPU at L ~ 2e4."""
-    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
-    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
-    ca = e * i - f * h
-    cb = f * g - d * i
-    cc = d * h - e * g
-    det = a * ca + b * cb + c * cc
-    inv_det = 1.0 / det
-    adj = jnp.stack([
-        jnp.stack([ca, c * h - b * i, b * f - c * e], -1),
-        jnp.stack([cb, a * i - c * g, c * d - a * f], -1),
-        jnp.stack([cc, b * g - a * h, a * e - b * d], -1),
-    ], -2)
-    return adj * inv_det[..., None, None]
 
 
 def _obs_of_lm_table(lm_idx, valid, l: int, k: int, o: int):
@@ -146,7 +125,7 @@ def ba_step_schur(prob: BAProblem, lam: jax.Array, cfg: SchurConfig,
     eye6 = jnp.eye(6, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
     hcc_d = hcc + lam * eye6[None]
-    y = _inv3x3_spd(hll + lam * eye3[None])                   # (L, 3, 3)
+    y = inv3x3_spd(hll + lam * eye3[None])                   # (L, 3, 3)
     z = jnp.einsum("lkab,lbc->lkac", u, y)                    # (L, K, 6, 3)
 
     # ---- reduced camera system, accumulated over landmark chunks

@@ -95,6 +95,27 @@ class TestBA:
         assert rmse0 > 1.0
         assert rmse1 < 0.15 * rmse0
 
+    def test_pcg_matches_cg_quality_at_half_iterations(self):
+        """Block-Jacobi PCG (BAConfig.precondition) must reach plain
+        CG's quality with half the inner iterations — the BA normal
+        system's diagonal blocks carry most of its conditioning."""
+        rs = np.random.default_rng(12)
+        cams, lms, intr, ci, li, uv = make_scene(rs, noise=0.0)
+        cams_n = cams + rs.normal(0, 0.01, cams.shape)
+        cams_n[0] = cams[0]
+        lms_n = lms + rs.normal(0, 0.02, lms.shape)
+        prob = BAProblem(jnp.asarray(cams_n, jnp.float32),
+                         jnp.asarray(lms_n, jnp.float32),
+                         jnp.asarray(intr, jnp.float32), jnp.asarray(ci),
+                         jnp.asarray(li), jnp.asarray(uv, jnp.float32),
+                         jnp.ones(len(ci), bool))
+        plain, _ = ba_solve(prob, BAConfig(iterations=12, cg_iterations=30))
+        pcg, _ = ba_solve(prob, BAConfig(iterations=12, cg_iterations=15,
+                                         precondition=True))
+        r_plain = float(reproj_rmse(plain))
+        r_pcg = float(reproj_rmse(pcg))
+        assert r_pcg <= max(1.2 * r_plain, 0.05), (r_pcg, r_plain)
+
     def test_padded_observations_ignored(self):
         rs = np.random.default_rng(4)
         cams, lms, intr, ci, li, uv = make_scene(rs)
