@@ -342,6 +342,18 @@ def main():
         "  block-Jacobi PCG (fewer matvecs).",
         "- **wolf/histogram/fast9** are HBM-streaming kernels; their GB/s",
         "  column is the honest utilization number.",
+        "- **mser** (not listed; measured in bench as mser_text): the r3",
+        "  1.05x row was fixture-flattered — a bimodal {20,235} image lets",
+        "  the content-adaptive gray-level ladder skip 49 of 51 levels.",
+        "  On a realistic antialiased+noisy scan every level is active and",
+        "  the honest number is ~173 ms/frame (0.156x): ladder labeling",
+        "  ~59 ms + per-strip label histograms ~100 ms + stability tables",
+        "  ~12 ms over 51 levels, with capacities sized so no strip",
+        "  truncates (the old default silently dropped records on 65",
+        "  strips/frame at speckle-heavy thresholds). Redesign rungs:",
+        "  incremental per-level areas via the nesting property, or",
+        "  per-level sorted counts — both measured/estimated within ~2x",
+        "  of the current cost, so neither shipped this round.",
         "- **ccl box extraction** (not listed; measured in bench as",
         "  ccl_boxes_text): ONE stable sort + segmented scans, ~6.5 ms at",
         "  1122x1182 — irregular grouping of 1.3M pixels costs a few",

@@ -45,15 +45,18 @@ class TestMjpegServer:
             assert img.shape[:2] == (48, 64)
             assert img[20, 30] > 200 and img[5, 5] < 50
 
-            # live stream: push two more frames, read two parts
-            resp = urllib.request.urlopen(url + "/", timeout=5)
-            srv.push(frame)
+            # live stream: the handler sends the current frame on connect;
+            # read it, then push a new one and read that (two pushes
+            # back-to-back can coalesce into one latest-frame update —
+            # deliberate drop-to-latest window semantics)
+            resp = urllib.request.urlopen(url + "/", timeout=30)
+            parts = _read_mjpeg_parts(resp, 1)
             srv.push(255 - frame)
-            parts = _read_mjpeg_parts(resp, 2)
+            parts += _read_mjpeg_parts(resp, 1)
             assert len(parts) == 2
             for p in parts:
                 assert p[:2] == b"\xff\xd8"
-        assert srv.frames_pushed == 3
+        assert srv.frames_pushed == 2
 
     def test_run_live_event_loop(self):
         """The demo loop: synthetic camera -> process -> stream, bounded
