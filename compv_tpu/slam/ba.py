@@ -287,6 +287,9 @@ def _cam_onehot(cam_idx, f: int, dtype):
     2x per CG matvec at O=1e5/F=256 on v5e — TPU gathers/scatters cost
     ~5 ns/row-element while the MXU streams the one-hot at HBM rate."""
     o = cam_idx.shape[0]
+    if jax.default_backend() != "tpu":
+        return None      # CPU matmuls against a 100 MB one-hot lose to
+                         # its gather/scatter; the trick is MXU-shaped
     if f * o * jnp.dtype(dtype).itemsize > _ONEHOT_BYTES_CAP:
         return None
     return (cam_idx[None, :] == jnp.arange(f)[:, None]).astype(dtype)
