@@ -39,6 +39,9 @@ __all__ = ["CclConfig", "CclResult", "label_components",
            "label_components_seeded", "ccl_features"]
 
 _PALLAS_CAP = 96     # convergence checks in the Pallas stage (2 steps each)
+_PALLAS_CAP_SEEDED = 256  # seeded (MSER ladder) cap: noisy flood levels
+                          # legitimately need ~114 cheap in-kernel iters,
+                          # far cheaper than the XLA pointer fallback
 _SWEEP_CAP = 12      # run-min sweep iterations in the XLA stage
 
 
@@ -47,6 +50,10 @@ class CclConfig:
     connectivity: int = 8        # LSL uses 8-connectivity
     max_components: int = 256    # fixed feature capacity (top-C by area)
     max_iterations: int = 64     # pointer-jumping fallback rounds (log-depth)
+    max_runs_per_row: int = 128  # run-record capacity of the fast feature
+                                 # extractor; rows with more horizontal
+                                 # foreground runs trigger the (slower,
+                                 # unbounded) pixel-sort fallback
 
 
 class CclResult(NamedTuple):
@@ -216,12 +223,16 @@ def label_components_seeded(binary: jax.Array, init: jax.Array,
         from compv_tpu.ops.pallas.ccl_kernel import pallas_label_seeded
         # run-jumps matter here: MSER's high gray levels merge everything
         # into image-spanning open regions whose diameter defeats plain
-        # neighbor-min, but whose long fg runs let d<=512 jumps cross the
-        # image in a handful of iterations
+        # neighbor-min. Jump dists are sized for NOISY floods (r5): with
+        # ~0.5% background holes a d=512 all-fg window almost never
+        # exists (0.995^512 ~ 8%) — the r4 (8, 64, 512) ladder left the
+        # flood level unconverged at cap 96 and paid the XLA
+        # pointer-jumping fallback (~40 ms/frame); (8, 32, 128) at cap
+        # 256 converges it in-kernel (114 iters, 4.3 ms measured).
         raw, iters = pallas_label_seeded(binary, init, connectivity,
-                                         _PALLAS_CAP, jump_every=2,
-                                         jump_dists=(8, 64, 512))
-        converged = iters < _PALLAS_CAP
+                                         _PALLAS_CAP_SEEDED, jump_every=2,
+                                         jump_dists=(8, 32, 128))
+        converged = iters < _PALLAS_CAP_SEEDED
 
         def fixup(r):
             l = jnp.where(fg, r, big)
@@ -256,6 +267,152 @@ def ccl_features(binary: jax.Array, config: CclConfig = CclConfig()
 
 
 
+def _seg_stats_from_runs(label_key, x0, x1, y, w, h, c):
+    """Per-component stats from R run records (label_key ascending-sorted
+    with invalid = 2^30 at the end; x0/x1/y aligned). Returns the compact
+    top-`c`-by-area CclResult fields (without the label map).
+
+    All segmented reductions are cumsum/cummin passes with a monotone
+    per-segment offset (segments = equal-label spans, ids from
+    cumsum(is_first)); the exact same trick _run_min uses for row sweeps.
+    No associative_scan (a (val, key) pair scan over pixel space measured
+    3.5 ms at 1.3M on v5e — offsets + cummin are ~10x cheaper)."""
+    big = jnp.int32(1 << 30)
+    r = label_key.shape[0]
+    prev = jnp.pad(label_key, (1, 0), constant_values=-1)[:-1]
+    is_first = (label_key != prev) & (label_key < big)
+    vrun = label_key < big
+    num = jnp.sum(is_first)
+    segid = jnp.cumsum(is_first.astype(jnp.int32))          # 1-based, 0=pre
+
+    length = jnp.where(vrun, x1 - x0 + 1, 0)
+
+    # ---- segmented sums as prefix differences at segment boundaries.
+    # Two-part hi/lo split keeps every cumsum int32-exact: per-record
+    # values are < w^2 (sum-x) / h*w (sum-y); with shift s, the hi cumsum
+    # is bounded by R * (vmax >> s) and the lo cumsum by R * 2^s. The
+    # per-component result is returned as f32(hi)*2^s + f32(lo) with both
+    # parts exact, so the only rounding is the final f32 render
+    # (<= 2^-23 relative — the r4 pixel path's unbounded f32
+    # running-prefix drift is gone).
+    def psum(part):
+        cs = jnp.cumsum(part)
+        exc = jnp.pad(cs, (1, 0))[:-1]
+        u = jnp.where(is_first, exc, jnp.int32(2 ** 31 - 1))
+        nxt = jax.lax.cummin(u[::-1])[::-1]
+        nxt = jnp.concatenate([nxt[1:], cs[-1:]])
+        return jnp.minimum(nxt, cs[-1]) - exc                # at is_first
+
+    def seg_sum_f32(v, vmax):
+        s = 0
+        while r * (vmax >> s) >= 2 ** 31 and s < 31:
+            s += 1
+        if r * (vmax >> s) >= 2 ** 31 or (s and (r << s) >= 2 ** 31):
+            raise ValueError("run table too large for exact int32 sums")
+        if s == 0:
+            return psum(v).astype(jnp.float32)
+        hi, lo = v >> s, v & ((1 << s) - 1)
+        return (psum(hi).astype(jnp.float32) * float(1 << s)
+                + psum(lo).astype(jnp.float32))
+
+    area = psum(length)                  # i32-exact: R * w < 2^31 (caller)
+    sumx = seg_sum_f32(jnp.where(vrun, (x0 + x1) * length // 2, 0), w * w)
+    sumy = seg_sum_f32(jnp.where(vrun, y * length, 0), h * w)
+
+    # ---- segmented min/max via suffix cummin + monotone segment offsets
+    # (requires R * (max(w,h)+2) < 2^31 — checked by the caller)
+    def seg_min(v, neutral, m):
+        u = jnp.where(vrun, v, neutral) + segid * m
+        suf = jax.lax.cummin(u[::-1])[::-1]
+        return suf - segid * m                               # at is_first
+
+    minx = seg_min(x0, jnp.int32(w), w + 1)
+    maxx = -seg_min(-x1, jnp.int32(1), w + 2)
+    maxy = -seg_min(-y, jnp.int32(1), h + 2)
+    miny = label_key // w
+
+    # ---- exact top-C by area: one small descending sort over R slots
+    tkey = jnp.where(is_first, -area, big)
+    slots = jnp.arange(r, dtype=jnp.int32)
+    tk_s, pos_s = jax.lax.sort([tkey, slots], num_keys=1,
+                               is_stable=False)
+    kk = min(c, r)
+    valid = jnp.pad(tk_s[:kk] < 0, (0, c - kk))
+    pos = jnp.pad(pos_s[:kk], (0, c - kk))
+
+    def pick(arr, fill=0):
+        return jnp.where(valid, arr[pos], fill)
+
+    a = pick(area)
+    m00 = jnp.maximum(a, 1).astype(jnp.float32)
+    return (num.astype(jnp.int32), a, pick(minx), pick(miny), pick(maxx),
+            pick(maxy), pick(sumx).astype(jnp.float32) / m00,
+            pick(sumy).astype(jnp.float32) / m00, valid)
+
+
+def extract_runs(lbl: jax.Array, k: int):
+    """(H, W) i32 labels -> per-row run records ((H, K') label / x0 / x1,
+    valid where label >= 0, K' = min(k, ceil(W/2))) + per-row run counts
+    (H,). Rows with more than K' runs are truncated to their first K' —
+    check counts > K' before trusting the records.
+
+    The compaction primitive is a per-row sort over FOLDED column pairs:
+    a run start needs bg on its left, so two adjacent columns can never
+    both host one and min-combining pairs halves the sort width (ends
+    fold symmetrically). Start keys pack (x << label_bits) | label into
+    one u32 so the sort carries no extra value arrays (359 us for one
+    (1182, 1122) 1-key row sort vs 1292 us carrying two values, v5e);
+    the k-th ascending end pairs with the k-th start, so ends sort as a
+    bare i32 key. Falls back to (x-key, label-value) 2-array sorting
+    when label+x exceed 32 bits (images over ~2 MP at 4k widths)."""
+    h, w = lbl.shape
+    n = h * w
+    lb = max(1, (n - 1).bit_length())
+    xb = max(1, w.bit_length())
+    fg = lbl >= 0
+    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    start = fg & ~jnp.pad(fg, ((0, 0), (1, 0)))[:, :-1]
+    end = fg & ~jnp.pad(fg, ((0, 0), (0, 1)))[:, 1:]
+    counts = jnp.sum(start.astype(jnp.int32), axis=1)
+
+    wp = -(-w // 2)
+
+    def fold2(a, pad):
+        ap = jnp.pad(a, ((0, 0), (0, 2 * wp - w)), constant_values=pad)
+        return jnp.minimum(ap[:, 0::2], ap[:, 1::2])
+
+    kk = min(k, wp)
+    if lb + xb <= 32:
+        sent = jnp.uint32(0xFFFFFFFF)
+        key = jnp.where(start,
+                        (xi.astype(jnp.uint32) << lb)
+                        | lbl.astype(jnp.uint32), sent)
+        ks = jax.lax.sort(fold2(key, sent), dimension=1,
+                          is_stable=False)[:, :kk]
+        run_lbl = jnp.where(ks != sent,
+                            (ks & jnp.uint32((1 << lb) - 1)).astype(jnp.int32),
+                            -1)
+        run_x0 = jnp.where(ks != sent, (ks >> lb).astype(jnp.int32), w)
+    else:
+        keyx = jnp.where(start, xi, jnp.int32(w))
+        # fold pairs while carrying the label: the start (if any) in a
+        # column pair is the one with the smaller x key
+        kp = jnp.pad(keyx, ((0, 0), (0, 2 * wp - w)), constant_values=w)
+        lp = jnp.pad(lbl, ((0, 0), (0, 2 * wp - w)), constant_values=-1)
+        left = kp[:, 0::2] <= kp[:, 1::2]
+        kf = jnp.where(left, kp[:, 0::2], kp[:, 1::2])
+        lf = jnp.where(left, lp[:, 0::2], lp[:, 1::2])
+        ks, ls = jax.lax.sort([kf, lf], dimension=1, num_keys=1,
+                              is_stable=False)
+        run_x0 = ks[:, :kk]
+        run_lbl = jnp.where(run_x0 < w, ls[:, :kk], -1)
+
+    keye = jnp.where(end, xi, jnp.int32(w))
+    run_x1 = jax.lax.sort(fold2(keye, jnp.int32(w)), dimension=1,
+                          is_stable=False)[:, :kk]
+    return run_lbl, run_x0, run_x1, counts
+
+
 @partial(jax.jit, static_argnames=("config",))
 def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
                              ) -> CclResult:
@@ -263,25 +420,90 @@ def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
     extraction separately from labeling, speed_compare:181-186; its
     extractor walks cached RLE runs, compv_core_ccl_lsl_result.cxx).
 
-    TPU formulation (r3 VERDICT task 2): ONE stable 1-key sort of
-    [label, flat-index] — the r3 version needed a second (label, x) sort;
-    min/max-x now come from a segmented associative_scan over the one
-    sorted order instead — plus cumsum/cummin passes and elementwise
-    math; no scatters, data-dependent gathers, or lax.top_k anywhere
-    (scatter-min/max and top_k lower poorly on this backend, and a sort
-    over image-derived arrays is the one irregular-grouping primitive
-    that benchmarks dependably; see ROOFLINE.md for the r4 measurement
-    methodology caveats).
+    r5 formulation — the reference's own design, vectorized: labels are
+    constant along horizontal foreground runs, so per-RUN records
+    (label, y, x0, x1) carry all box/area/centroid information. Runs are
+    compacted per row by short folded sorts (extract_runs), grouped by
+    label with ONE small R = H*K-record sort, and reduced with segmented
+    cumsum/cummin passes (~45k records on the reference's text-scan
+    benchmark vs the 1.3M pixels the r3/r4 pixel-sort formulation
+    processed — 6.5 ms -> sub-ms). Rows with more than
+    config.max_runs_per_row runs divert to the pixel path (exact,
+    capacity-free) under a lax.cond."""
+    h, w = lbl.shape
+    c = config.max_components
+    kk = min(config.max_runs_per_row, -(-w // 2))
+    r = h * kk
+    runs_ok = (r * (max(w, h) + 2) < 2 ** 31)
+
+    if not runs_ok:
+        return _ccl_features_pixels(lbl, config)
+
+    run_lbl, run_x0, run_x1, counts = extract_runs(lbl, kk)
+    overflow = jnp.any(counts > kk)
+
+    lb_bits = max(1, (h * w - 1).bit_length())
+    x_bits = max(1, w.bit_length())
+
+    def run_path(lb_):
+        big = jnp.int32(1 << 30)
+        yy = jnp.broadcast_to(
+            jnp.arange(h, dtype=jnp.int32)[:, None], run_lbl.shape).ravel()
+        # y*(w+1)+x1 < h*(w+1)+w < 2^31 always (labels need h*w < 2^30)
+        if lb_bits + x_bits <= 32:
+            # 2-array sort: u32 key (label << xb | x0) groups by label AND
+            # orders runs by x0 within a segment (min-x = first slot,
+            # no scan); value packs (y, x1)
+            keyu = jnp.where(
+                run_lbl >= 0,
+                (run_lbl.astype(jnp.uint32) << x_bits)
+                | run_x0.astype(jnp.uint32),
+                jnp.uint32(0xFFFFFFFF)).ravel()
+            val = (yy * (w + 1) + run_x1.ravel())
+            ku, vs = jax.lax.sort([keyu, val], num_keys=1, is_stable=False)
+            sentinel = ku == jnp.uint32(0xFFFFFFFF)
+            ks = jnp.where(sentinel, big,
+                           (ku >> x_bits).astype(jnp.int32))
+            x0s = jnp.where(sentinel, w,
+                            (ku & jnp.uint32((1 << x_bits) - 1))
+                            .astype(jnp.int32))
+            x1s, ys = vs % (w + 1), vs // (w + 1)
+        else:
+            key = jnp.where(run_lbl >= 0, run_lbl, big).ravel()
+            x01 = (run_x0 * (w + 1) + run_x1).ravel()
+            ks, x01s, ys = jax.lax.sort([key, x01, yy], num_keys=1,
+                                        is_stable=False)
+            x0s, x1s = x01s // (w + 1), x01s % (w + 1)
+        num, area, minx, miny, maxx, maxy, cx, cy, valid = \
+            _seg_stats_from_runs(ks, x0s, x1s, ys, w, h, c)
+        return CclResult(lb_, num, area, minx, miny, maxx, maxy, cx, cy,
+                         valid)
+
+    def pixel_path(lb_):
+        return _ccl_features_pixels(lb_, config)
+
+    return jax.lax.cond(overflow, pixel_path, run_path, lbl)
+
+
+def _ccl_features_pixels(lbl: jax.Array, config: CclConfig) -> CclResult:
+    """Capacity-free pixel-sort extraction (r3/r4 formulation) — the
+    fallback when a row exceeds max_runs_per_row.
+
+    ONE stable 1-key sort of [label, flat-index] plus cumsum/cummin
+    passes and elementwise math; no scatters, data-dependent gathers, or
+    lax.top_k anywhere (scatter-min/max and top_k lower poorly on this
+    backend, and a sort over image-derived arrays is the one
+    irregular-grouping primitive that benchmarks dependably; see
+    ROOFLINE.md for the measurement methodology caveats).
 
     Per-component stats fall out of segment boundaries in sorted space:
     area/sum-x/sum-y as prefix-sum differences (int32-exact when
     n*max(w,h)/2 < 2^31, f32 otherwise), min/max-x via a segmented-min
     suffix scan keyed by the sorted labels, min-y free (label row), max-y
     from each segment's last slot (stable sort keeps raster order).
-    Top-`max_components` by area: top-2 per 64-slot window of sorted
-    pixel space + an exact sort of the ~2n/64 candidates; a component can
-    be missed only if 3+ of the global top-C (hence all with area < 64)
-    land in one 64-slot window."""
+    Top-`max_components` by area: exact descending sort over slot space
+    (r5 — replaced the windowed top-2 heuristic that could miss a
+    component when 3+ of the top-C shared one 64-slot window)."""
     h, w = lbl.shape
     n = h * w
     c = config.max_components
@@ -348,23 +570,17 @@ def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
     nxt_l = jnp.concatenate([nxt_l[1:], lasty[-1:]])
     maxy = jnp.minimum(nxt_l, lasty[-1]) - exly - 1      # valid at is_first
 
-    # ---- top-C by area: top-2 per 64-slot window + exact candidate sort
+    # ---- top-C by area: exact one-key sort over slot space (r5: this is
+    # the rare fallback path — exactness beats the old windowed-top-2
+    # heuristic, which missed components when 3+ of the top-C landed in
+    # one 64-slot window)
     area_slots = jnp.where(is_first, area, 0).astype(jnp.float32)
-    seg = 64
-    nseg = -(-n // seg)
-    a2 = jnp.pad(area_slots, (0, nseg * seg - n)).reshape(nseg, seg)
-    p1 = jnp.argmax(a2, axis=1)
-    v1 = jnp.take_along_axis(a2, p1[:, None], 1)[:, 0]
-    io2 = jax.lax.broadcasted_iota(jnp.int32, a2.shape, 1)
-    a2b = jnp.where(io2 == p1[:, None], -1.0, a2)
-    p2 = jnp.argmax(a2b, axis=1)
-    v2 = jnp.take_along_axis(a2b, p2[:, None], 1)[:, 0]
-    base = jnp.arange(nseg, dtype=jnp.int32) * seg
-    cand_v = jnp.concatenate([v1, v2])
-    cand_p = jnp.concatenate([base + p1, base + p2])
-    neg_s, pos_s = jax.lax.sort([-cand_v, cand_p], num_keys=1)
-    kk = min(c, int(cand_v.shape[0]))
-    vals = jnp.pad(-neg_s[:kk], (0, c - kk))
+    tkey = jnp.where(is_first, -area_slots, jnp.float32(jnp.inf))
+    slot_ids = jnp.arange(n, dtype=jnp.int32)
+    neg_s, pos_s = jax.lax.sort([tkey, slot_ids], num_keys=1,
+                                is_stable=False)
+    kk = min(c, n)
+    vals = jnp.pad(jnp.where(neg_s[:kk] < 0, -neg_s[:kk], 0.0), (0, c - kk))
     pos = jnp.pad(pos_s[:kk], (0, c - kk))
     comp_valid = vals > 0
 

@@ -15,8 +15,13 @@ The flood-fill component tree is intrinsically sequential (SURVEY.md §7
     only newly-merged regions re-flood. Levels whose foreground did not
     change are skipped entirely (lax.cond) — the cost is content-adaptive,
     like the reference's tree walk. Per level, exact component areas come
-    from the Pallas strip-histogram (ops/pallas/label_stats.py) merged by a
-    batched sort + segmented sum — no large scatters anywhere.
+    from RUN records (labels are constant along horizontal foreground
+    runs): compaction by two short folded per-row sorts
+    (features/ccl.py extract_runs, ~90 us at 1122x1182 on v5e), then one
+    u32-packed (label << len_bits | len) R-record sort + a segmented
+    prefix-sum — ~0.3 ms/level vs ~1.8 ms/level for the r4 per-strip
+    Pallas label enumeration it replaces (that kernel paid ~450 ns of
+    scalar-sync overhead per distinct label per strip).
 
   phase 2 (batched small-table math): the reference's stability rules on
     the sampled tree:
@@ -75,12 +80,15 @@ class MserConfig:
     max_candidates: int = 1024   # per-level capacity for components with
                                  # area >= min_area (text scans measure a
                                  # few hundred); overflow sets `overflowed`
-    strip_rounds: int = 640      # per-8-row-strip distinct-label capacity
-                                 # in the TPU histogram kernel (640 covers
-                                 # noisy scans whose speckle thresholds
-                                 # reach ~600 labels/strip; the kernel's
-                                 # while-loop is content-adaptive so unused
-                                 # capacity costs nothing — r4)
+    run_tiers: tuple = (112, 320)  # per-row run-record capacities of the
+                                 # per-level area extraction; each level
+                                 # dispatches (lax.cond) to the smallest
+                                 # tier covering its max runs/row, and a
+                                 # final ceil(W/2) tier makes areas EXACT
+                                 # at any level (typical text levels need
+                                 # <= 105 runs/row, noisy flood levels
+                                 # ~280 — paying the wide sort only there
+                                 # halves the ladder's area cost)
 
 
 class MserResult(NamedTuple):
@@ -96,7 +104,7 @@ class MserResult(NamedTuple):
     box_y1: jax.Array
     valid: jax.Array       # (R,) bool
     overflowed: jax.Array  # () i32: #levels where a fixed capacity clipped
-                           # (strip rounds or candidate table) — results may
+                           # (runs/row or candidate table) — results may
                            # silently miss regions when nonzero
 
     def count(self):
@@ -154,7 +162,6 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape,
     tables, 0 = full pipeline (the only supported product value)."""
     h, w = shape
     n = h * w
-    on_tpu = jax.default_backend() == "tpu"
     f = img if config.dark else (255 - img.astype(jnp.int32)).astype(jnp.uint8)
 
     cand_levels = list(range(config.level_step, 256, config.level_step))
@@ -163,84 +170,104 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape,
     pos = {t: i for i, t in enumerate(all_levels)}
     n_lv = len(all_levels)
     n_cand = len(cand_levels)
-    rounds = config.strip_rounds
-    n_strips = -(-h // 8)
-    rec = n_strips * rounds if on_tpu else n
-    cap = min(config.max_candidates, rec)
+    # run-capacity tiers, ending in an exact ceil(W/2) tier (clamped only
+    # when the int32 area-sum bound forbids it — flagged via counts)
+    w_exact = -(-w // 2)
+    sum_cap = max((2 ** 31 - 1) // (h * max(w, 1)), 1)
+    tiers = sorted({min(t, w_exact, sum_cap) for t in config.run_tiers}
+                   | {min(w_exact, sum_cap)})
+    kk_max = tiers[-1]
+    cap = min(config.max_candidates, h * tiers[0])
+    amin = max(int(config.min_area * n), 1)
+    amax = int(config.max_area * n)
+    lb_bits = max(1, (n - 1).bit_length())
+    len_bits = max(1, w.bit_length())
 
     idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
 
+    def level_candidates(lbl, kk):
+        """Exact per-component areas of one level's labeling via run
+        records (see module docstring), compacted to the (cap,) candidate
+        table of components with area >= min_area (amax applies only at
+        final filtering so PARENT components stay in the tables)."""
+        from compv_tpu.features.ccl import extract_runs
+        rec = h * kk
+        run_lbl, run_x0, run_x1, counts = extract_runs(lbl, kk)
+        over_runs = jnp.any(counts > kk)
+        length = jnp.where(run_lbl >= 0, run_x1 - run_x0 + 1, 0)
+        if lb_bits + len_bits <= 32:
+            keyu = jnp.where(
+                run_lbl >= 0,
+                (run_lbl.astype(jnp.uint32) << len_bits)
+                | length.astype(jnp.uint32),
+                jnp.uint32(0xFFFFFFFF)).ravel()
+            ku = jax.lax.sort(keyu, is_stable=False)
+            sen = ku == jnp.uint32(0xFFFFFFFF)
+            ks = jnp.where(sen, _BIG, (ku >> len_bits).astype(jnp.int32))
+            ln = jnp.where(sen, 0,
+                           (ku & jnp.uint32((1 << len_bits) - 1))
+                           .astype(jnp.int32))
+        else:
+            key = jnp.where(run_lbl >= 0, run_lbl, _BIG).ravel()
+            ks, ln = jax.lax.sort([key, length.ravel()], num_keys=1,
+                                  is_stable=False)
+            ln = jnp.where(ks < _BIG, ln, 0)
+        prev_k = jnp.pad(ks, (1, 0), constant_values=-1)[:-1]
+        is_first = (ks != prev_k) & (ks < _BIG)
+        cs = jnp.cumsum(ln)
+        exc = jnp.pad(cs, (1, 0))[:-1]
+        u = jnp.where(is_first, exc, jnp.int32(2 ** 31 - 1))
+        nxt = jax.lax.cummin(u[::-1])[::-1]
+        nxt = jnp.concatenate([nxt[1:], cs[-1:]])
+        area = jnp.minimum(nxt, cs[-1]) - exc          # valid at is_first
+
+        # candidates keep rec-space (ascending-root) order: sorting by
+        # masked root alone compacts them — no third value array
+        cand_mask = is_first & (area >= amin)
+        root_s, area_s = jax.lax.sort(
+            [jnp.where(cand_mask, ks, _BIG),
+             jnp.where(cand_mask, area, 0)], num_keys=1, is_stable=False)
+        root = jnp.where(root_s[:cap] < _BIG, root_s[:cap], -1)
+        car = jnp.where(root >= 0, area_s[:cap], 0)
+        over = (over_runs | (jnp.sum(cand_mask) > cap)).astype(jnp.int32)
+        return root, car, over
+
     # ---------------- phase 1: incremental labeling + per-level records
     def level_step_fn(carry, t):
-        prev_lbl, prev_keys, prev_cnts = carry
+        prev_lbl, prev_root, prev_area = carry
         fgm = (f.astype(jnp.int32) <= t).astype(jnp.uint8)
         changed = jnp.any((fgm > 0) != (prev_lbl >= 0))
 
         def compute(_):
             init = jnp.where(prev_lbl >= 0, prev_lbl, idx)
             lbl = label_components_seeded(fgm, init, 8)
-            if on_tpu:
-                from compv_tpu.ops.pallas.label_stats import \
-                    strip_label_counts
-                recs, used, trunc = strip_label_counts(lbl, rounds)
-                in_use = (jax.lax.broadcasted_iota(
-                    jnp.int32, recs.shape[::2], 1) < used[:, None])
-                keys = jnp.where(in_use & (recs[:, 0, :] >= 0),
-                                 recs[:, 0, :], _BIG).ravel()
-                cnts = jnp.where(in_use, recs[:, 1, :], 0).ravel()
-                over = jnp.sum(trunc)
-            else:
-                flat = lbl.ravel()
-                keys = jnp.where(flat >= 0, flat, _BIG)
-                cnts = (flat >= 0).astype(jnp.int32)
-                over = jnp.int32(0)
-            return lbl, keys, cnts, over
+            # tier dispatch: pay the wide-capacity sorts only at levels
+            # that need them (noisy flood levels; ~280 runs/row vs <= 105
+            # at typical text levels)
+            fgl = lbl >= 0
+            starts = fgl & ~jnp.pad(fgl, ((0, 0), (1, 0)))[:, :-1]
+            mx = jnp.max(jnp.sum(starts.astype(jnp.int32), axis=1))
+            branches = [partial(level_candidates, kk=t_) for t_ in tiers]
+            sel = sum(jnp.int32(mx > t_) for t_ in tiers[:-1]) \
+                if len(tiers) > 1 else jnp.int32(0)
+            root, car, over = jax.lax.switch(sel, branches, lbl)
+            return lbl, root, car, over
 
         def reuse(_):
-            return prev_lbl, prev_keys, prev_cnts, jnp.int32(0)
+            return prev_lbl, prev_root, prev_area, jnp.int32(0)
 
-        lbl, keys, cnts, over = jax.lax.cond(changed, compute, reuse, 0)
-        return (lbl, keys, cnts), (lbl.ravel(), keys, cnts, over)
+        lbl, root, car, over = jax.lax.cond(changed, compute, reuse, 0)
+        return (lbl, root, car), (lbl.ravel(), root, car, over)
 
     carry0 = (jnp.full((h, w), -1, jnp.int32),
-              jnp.full((rec,), _BIG, jnp.int32),
-              jnp.zeros((rec,), jnp.int32))
-    _, (labels_flat, keys_all, cnts_all, over_all) = jax.lax.scan(
+              jnp.full((cap,), -1, jnp.int32),
+              jnp.zeros((cap,), jnp.int32))
+    _, (labels_flat, cand_root, cand_area, over_all) = jax.lax.scan(
         level_step_fn, carry0, jnp.asarray(all_levels, jnp.int32))
     # labels_flat: (L, n) — flattened in-step so no (L, h, w) -> (L, n)
     # relayout copy is needed for the cross-level gathers below
-    if _stage == 1:
-        z = jnp.sum(labels_flat[:, 0]) + jnp.sum(cnts_all[:, 0])
-        zi = jnp.zeros((config.max_regions,), jnp.int32) + z
-        zf = zi.astype(jnp.float32)
-        return MserResult(zi, zi, zi, zi, zf, zi, zi, zi, zi,
-                          zi > 0, jnp.int32(0))
-
-    # ---------------- per-level exact component areas (sort + seg-sum)
-    ks, cs = jax.lax.sort([keys_all, cnts_all], dimension=1, num_keys=1)
-    suf = jnp.cumsum(cs[:, ::-1], axis=1)[:, ::-1]
-    prev_k = jnp.pad(ks, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
-    is_first = (ks != prev_k) & (ks < _BIG)
-    u = jnp.where(is_first, suf, -1)
-    nxt_incl = jax.lax.cummax(u[:, ::-1], axis=1)[:, ::-1]
-    nxt = jnp.pad(nxt_incl, ((0, 0), (0, 1)))[:, 1:]
-    area_rec = jnp.where(is_first, suf - jnp.maximum(nxt, 0), 0)
-
-    amin = max(int(config.min_area * n), 1)
-    amax = int(config.max_area * n)
-
-    # candidates: every component with area >= min_area (amax applies only
-    # at final filtering so PARENT components stay in the tables)
-    cand_mask = is_first & (area_rec >= amin)
-    order = jnp.where(cand_mask,
-                      jax.lax.broadcasted_iota(jnp.int32, ks.shape, 1), _BIG)
-    o_s, root_s, area_s = jax.lax.sort([order, ks, area_rec], dimension=1,
-                                       num_keys=1)
-    cand_root = jnp.where(o_s[:, :cap] < _BIG, root_s[:, :cap], -1)  # (L,cap)
-    cand_area = jnp.where(cand_root >= 0, area_s[:, :cap], 0)
-    over_cand = jnp.sum(cand_mask.astype(jnp.int32), axis=1) > cap
-    if _stage == 2:
+    if _stage in (1, 2):
         z = jnp.sum(cand_area[:, 0]) + jnp.sum(cand_root[:, 0])
         zi = jnp.zeros((config.max_regions,), jnp.int32) + z
         zf = zi.astype(jnp.float32)
@@ -347,8 +374,7 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape,
     bx0, by0, bx1, by1 = jax.lax.map(box_of, (rows_i, sel_seed))
 
     level_arr = jnp.asarray(cand_levels, jnp.int32)
-    overflowed = (jnp.sum(over_all) + jnp.sum(over_cand.astype(jnp.int32))
-                  ).astype(jnp.int32)
+    overflowed = jnp.sum(over_all).astype(jnp.int32)
     return MserResult(
         seed_x=jnp.where(keep, sel_seed % w, 0),
         seed_y=jnp.where(keep, sel_seed // w, 0),

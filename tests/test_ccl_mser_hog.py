@@ -71,6 +71,62 @@ class TestCcl:
         assert int(res.num_components) == 1
 
 
+class TestCclRunExtraction:
+    """The r5 run-record feature extractor (extract_runs + segmented
+    stats) vs the scipy oracle and the capacity-overflow fallback."""
+
+    def test_random_image_full_oracle(self):
+        rs = np.random.default_rng(7)
+        img = (rs.random((96, 120)) < 0.35).astype(np.uint8)
+        lbl_s, n = ndimage.label(img > 0, structure=np.ones((3, 3)))
+        from compv_tpu.features.ccl import ccl_features_from_labels
+        lbl = label_components(jnp.asarray(img * 255))
+        res = ccl_features_from_labels(
+            lbl, CclConfig(max_components=max(256, n)))
+        assert int(res.num_components) == n
+        v = np.asarray(res.valid)
+        assert v.sum() == n
+        got = sorted(
+            (int(res.area[i]), int(res.box_x0[i]), int(res.box_y0[i]),
+             int(res.box_x1[i]), int(res.box_y1[i]),
+             round(float(res.cx[i]), 3), round(float(res.cy[i]), 3))
+            for i in np.nonzero(v)[0])
+        objs = ndimage.find_objects(lbl_s)
+        areas = np.bincount(lbl_s.ravel())[1:]
+        cys, cxs = zip(*ndimage.center_of_mass(
+            img > 0, lbl_s, np.arange(1, n + 1)))
+        want = sorted(
+            (int(areas[i]), objs[i][1].start, objs[i][0].start,
+             objs[i][1].stop - 1, objs[i][0].stop - 1,
+             round(float(cxs[i]), 3), round(float(cys[i]), 3))
+            for i in range(n))
+        assert got == want
+
+    def test_overflow_falls_back_to_pixel_path(self):
+        img = np.zeros((16, 300), np.uint8)
+        img[:, ::2] = 1                       # 150 runs/row > capacity 128
+        lbl = label_components(jnp.asarray(img * 255))
+        from compv_tpu.features.ccl import ccl_features_from_labels
+        res = ccl_features_from_labels(lbl, CclConfig(max_components=160))
+        _, n = ndimage.label(img > 0, structure=np.ones((3, 3)))
+        assert int(res.num_components) == n
+        areas = np.asarray(res.area)[np.asarray(res.valid)]
+        assert (areas == 16).all() and len(areas) == 150
+
+    def test_single_row_and_column_runs(self):
+        img = np.zeros((5, 9), np.uint8)
+        img[2, 2:8] = 1                       # one horizontal run
+        img[:, 0] = 1                         # one vertical run (5 rows)
+        from compv_tpu.features.ccl import ccl_features_from_labels
+        lbl = label_components(jnp.asarray(img * 255))
+        res = ccl_features_from_labels(lbl, CclConfig(max_components=4))
+        got = sorted(
+            (int(res.area[i]), int(res.box_x0[i]), int(res.box_y0[i]),
+             int(res.box_x1[i]), int(res.box_y1[i]))
+            for i in np.nonzero(np.asarray(res.valid))[0])
+        assert got == [(5, 0, 0, 0, 4), (6, 2, 2, 7, 2)]
+
+
 @pytest.mark.slow
 class TestMser:
     def test_dark_blobs_found(self):
