@@ -193,7 +193,8 @@ def obs_jacobian_blocks(cameras, landmarks, intrinsics, cam_idx, lm_idx,
             return jnp.stack([u, v]) - uv1
         return f(cam, lm), jax.jacfwd(f, 0)(cam, lm), jax.jacfwd(f, 1)(cam, lm)
 
-    cams_o = cameras[cam_idx] if onehot_c is None else onehot_c.T @ cameras
+    cams_o = (cameras[cam_idx] if onehot_c is None
+              else _mm_exact(onehot_c.T, cameras))
     lms_o = landmarks[lm_idx]
     r, a, b = jax.vmap(one)(cams_o, lms_o, uv)
     m2 = valid[:, None]
@@ -269,7 +270,7 @@ def _residuals_o(cams, lms, prob: BAProblem, onehot_c):
     one-hot matmul (identical math; see _cam_onehot)."""
     if onehot_c is None:
         return ba_residuals(cams, lms, prob)
-    cams_o = onehot_c.T @ cams                       # (O, 6)
+    cams_o = _mm_exact(onehot_c.T, cams)             # (O, 6)
     lms_o = lms[prob.lm_idx]
     rm = jax.vmap(rodrigues_to_matrix)(cams_o[:, :3])
     pc = jnp.einsum("oij,oj->oi", rm, lms_o) + cams_o[:, 3:]
@@ -278,6 +279,16 @@ def _residuals_o(cams, lms, prob: BAProblem, onehot_c):
     v = prob.intrinsics[1] * pc[:, 1] / z + prob.intrinsics[3]
     r = jnp.stack([u, v], axis=1) - prob.uv
     return jnp.where(prob.valid[:, None], r, 0.0)
+
+
+# gather-by-matmul contractions run at Precision.HIGHEST: the default TPU
+# f32 dot truncates operands to bf16 on the MXU (~8 mantissa bits), which
+# would round camera parameters / J^T u accumulations every CG matvec and
+# silently break the 'exact gather' contract these matmuls replace
+# (r4 ADVICE). The one-hot streams from HBM either way, so the extra MXU
+# passes are hidden behind the memory traffic.
+def _mm_exact(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def _cam_onehot(cam_idx, f: int, dtype):
@@ -299,7 +310,7 @@ def _jv(a, b, cam_idx, lm_idx, dc, dl, onehot_c=None):
     """J v: per-obs 2x6 / 2x3 block products against the gathered camera /
     landmark updates. The camera gather runs as onehot^T @ dc on the MXU
     when the one-hot fits (gather-by-matmul, exact)."""
-    dc_o = dc[cam_idx] if onehot_c is None else onehot_c.T @ dc
+    dc_o = dc[cam_idx] if onehot_c is None else _mm_exact(onehot_c.T, dc)
     return (jnp.einsum("oij,oj->oi", a, dc_o) +
             jnp.einsum("oik,ok->oi", b, dl[lm_idx]))
 
@@ -314,7 +325,7 @@ def _jtu(a, b, cam_idx, lm_idx, u, f, l, onehot_c=None):
     if onehot_c is None:
         gc = jnp.zeros((f, 6), dt).at[cam_idx].add(au)
     else:
-        gc = onehot_c @ au
+        gc = _mm_exact(onehot_c, au)
     gl = jnp.zeros((l, 3), dt).at[lm_idx].add(
         jnp.einsum("oik,oi->ok", b, u))
     return gc, gl

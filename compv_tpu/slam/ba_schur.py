@@ -101,15 +101,21 @@ def ba_step_schur(prob: BAProblem, lam: jax.Array, cfg: SchurConfig,
                                     prob.lm_idx, prob.uv, prob.valid)
     cost = psum(jnp.sum(r * r))
 
+    # landmark-side observation table, built first so the camera-side
+    # index-adds can exclude observations the static cap `k` drops —
+    # otherwise Hcc/gc would include terms the Hll/W side never saw and
+    # the normal equations would be silently inconsistent (r4 ADVICE)
+    table, counts = _obs_of_lm_table(prob.lm_idx, prob.valid, l, k, o)
+    kept = jnp.zeros((o + 1,), bool).at[table.ravel()].set(True)[:o]
+    jc_k = jnp.where(kept[:, None, None], jc, 0.0)
+    r_k = jnp.where(kept[:, None], r, 0.0)
+
     # camera-side terms: one index-add over observations each
     hcc = jnp.zeros((f, 6, 6), dtype).at[prob.cam_idx].add(
-        jnp.einsum("oia,oib->oab", jc, jc))
+        jnp.einsum("oia,oib->oab", jc_k, jc_k))
     gc = jnp.zeros((f, 6), dtype).at[prob.cam_idx].add(
-        jnp.einsum("oia,oi->oa", jc, r))
+        jnp.einsum("oia,oi->oa", jc_k, r_k))
     hcc, gc = psum(hcc), psum(gc)
-
-    # landmark-side terms via the padded per-landmark table: NO scatters
-    table, _ = _obs_of_lm_table(prob.lm_idx, prob.valid, l, k, o)
     zpad = lambda x: jnp.concatenate(
         [x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
     jc_l = zpad(jc)[table]                     # (L, K, 2, 6)
@@ -146,15 +152,24 @@ def ba_step_schur(prob: BAProblem, lam: jax.Array, cfg: SchurConfig,
         uc, zc, glc, cc = xs
         onehot = (cc[:, :, None] ==
                   jnp.arange(f)[None, None, :]).astype(dtype)  # (lc, K, F)
-        w_ch = jnp.einsum("pkf,pkab->pfab", onehot, uc)        # (lc, F, 6, 3)
-        z_ch = jnp.einsum("pkf,pkab->pfab", onehot, zc)
+        # one-hot contractions are gathers-by-matmul: HIGHEST keeps them
+        # exact (default TPU dot truncates the f32 blocks to bf16)
+        w_ch = jnp.einsum("pkf,pkab->pfab", onehot, uc,
+                          precision=jax.lax.Precision.HIGHEST)
+        z_ch = jnp.einsum("pkf,pkab->pfab", onehot, zc,
+                          precision=jax.lax.Precision.HIGHEST)
         if psum_axis is not None and not cfg.lm_partitioned:
             # cross-shard coupling: W_l sums obs across shards, and
             # W Y W^T is bilinear — reduce BEFORE the outer product
             w_ch = jax.lax.psum(w_ch, psum_axis)
             z_ch = jax.lax.psum(z_ch, psum_axis)
-        s_acc = s_acc - jnp.einsum("pfab,pgcb->fagc", z_ch, w_ch)
-        rhs_acc = rhs_acc - jnp.einsum("pfab,pb->fa", z_ch, glc)
+        # the W Y W^T products are real arithmetic (not gathers): HIGH
+        # (bf16x3, ~f32-grade mantissa) keeps the reduced system honest
+        # at 3 MXU passes instead of HIGHEST's 6
+        s_acc = s_acc - jnp.einsum("pfab,pgcb->fagc", z_ch, w_ch,
+                                   precision=jax.lax.Precision.HIGH)
+        rhs_acc = rhs_acc - jnp.einsum("pfab,pb->fa", z_ch, glc,
+                                       precision=jax.lax.Precision.HIGH)
         return (s_acc, rhs_acc), None
 
     s0 = jnp.zeros((f, 6, f, 6), dtype)

@@ -336,31 +336,71 @@ def main():
         "  (F, O) one-hot halved the CG matvec (1.92 -> 0.95 ms), and",
         "  routing the linearizer's and residual passes' camera gathers",
         "  through the same one-hot brought the step to 22.8 ms — 727x",
-        "  the AD path, 43.8 GN steps/s. Remaining cost splits between",
-        "  the landmark-side gather+index-add (an (L, O) one-hot would",
-        "  not fit) and the jacfwd linearize; the next rung is",
-        "  block-Jacobi PCG (fewer matvecs).",
+        "  the AD path. r5: the one-hot contractions now run at",
+        "  Precision.HIGHEST (the default TPU dot truncates operands to",
+        "  bf16, which silently broke the 'exact gather' contract — r4",
+        "  ADVICE), and ba_schur masks capacity-dropped observations out",
+        "  of Hcc/gc so the normal equations stay self-consistent;",
+        "  exactness costs ~15% (26.6 ms/step, 37.6 GN steps/s; Schur",
+        "  54.3 ms) and is verified against the gather path to 1e-5 on",
+        "  hardware by scripts/tpu_checks.py. Remaining cost splits",
+        "  between the landmark-side gather+index-add (an (L, O) one-hot",
+        "  would not fit) and the jacfwd linearize.",
         "- **wolf/histogram/fast9** are HBM-streaming kernels; their GB/s",
         "  column is the honest utilization number.",
-        "- **mser** (not listed; measured in bench as mser_text): the r3",
-        "  1.05x row was fixture-flattered — a bimodal {20,235} image lets",
-        "  the content-adaptive gray-level ladder skip 49 of 51 levels.",
-        "  On a realistic antialiased+noisy scan every level is active and",
-        "  the honest number is ~173 ms/frame (0.156x): ladder labeling",
-        "  ~59 ms + per-strip label histograms ~100 ms + stability tables",
-        "  ~12 ms over 51 levels, with capacities sized so no strip",
-        "  truncates (the old default silently dropped records on 65",
-        "  strips/frame at speckle-heavy thresholds). Redesign rungs:",
-        "  incremental per-level areas via the nesting property, or",
-        "  per-level sorted counts — both measured/estimated within ~2x",
-        "  of the current cost, so neither shipped this round.",
-        "- **ccl box extraction** (not listed; measured in bench as",
-        "  ccl_boxes_text): ONE stable sort + segmented scans, ~6.5 ms at",
-        "  1122x1182 — irregular grouping of 1.3M pixels costs a few",
-        "  global sorted passes on this backend vs the reference's ~96 us",
-        "  cached-RLE CPU walk; the row is CPU-favored by design and",
-        "  labeling is where the TPU wins. Extraction is verified exactly",
-        "  against the scipy oracle (areas/boxes/centroids).",
+        "- **mser** (measured in bench as mser_text): r5 rebuilt the two",
+        "  dominant stages of the honest 173 ms r4 profile (ladder 59 ms",
+        "  + strip histograms 100 ms + tables 13 ms). (1) The seeded",
+        "  labeler left the noisy flood level UNCONVERGED at cap 96 —",
+        "  with ~0.5% background holes a d=512 all-fg jump window almost",
+        "  never exists (0.995^512 ~ 8%) — so every frame paid the XLA",
+        "  pointer-jump fallback (~35 ms); jump dists (8,32,128) at cap",
+        "  256 converge it in-kernel (114 iters, 4.3 ms). (2) Per-level",
+        "  areas now come from RUN records via two folded per-row sorts",
+        "  + one u32-packed (label<<lenbits|len) R-sort + segmented",
+        "  prefix sums, with per-level capacity tiers (112/320/exact",
+        "  ceil(W/2)) dispatched on max runs/row so only flood levels",
+        "  pay wide sorts; this replaces the per-strip Pallas label",
+        "  enumeration, whose serial next=min(l>cur) chain measured",
+        "  ~450 ns of scalar-sync overhead per distinct label per strip",
+        "  (3.2 ms at 7.1k strip-labels, level 115) — and a probe showed",
+        "  delta-masking would NOT have helped (changed-label rounds",
+        "  405k >= present-label rounds 347k on the noisy fixture).",
+        "  Honest r5 standing: 67.7 ms/frame = 14.8 fps = 0.40x",
+        "  (was 0.155x), split ~24 ms ladder (525 propagation iters",
+        "  across 51 levels) + ~26 ms run-sort areas + ~15 ms stability",
+        "  tables + top-k/boxes. The remaining 2.5x to parity needs the",
+        "  per-level sorts amortized ACROSS levels (the reference pays",
+        "  component-tree-sized work once; every dense formulation here",
+        "  pays per level x per record) — unsolved this round.",
+        "- **ccl box extraction** (measured in bench as ccl_boxes_text):",
+        "  r5 rebuilt it on per-RUN records — the reference's own design",
+        "  (boxes from cached RLE runs, compv_core_ccl_lsl_result.cxx) —",
+        "  at 0.66 ms/frame (1512 fps, 0.145x), 10x the r4 pixel-sort",
+        "  formulation (6.5 ms). Pipeline: run compaction by two per-row",
+        "  FOLDED sorts (a run start needs bg on its left, so adjacent",
+        "  columns can never both host one -> sort width W/2; the start",
+        "  key packs (x << 21 | label) into one u32 so no value arrays",
+        "  ride along; 87 us for both sorts at 1122x1182), then ONE",
+        "  R = H*128 = 151k-record sort groups runs by label (~330 us),",
+        "  then segmented cumsum/cummin passes (monotone-offset trick,",
+        "  no associative_scan) + an exact top-C sort. The remaining",
+        "  ~7x gap to the reference's ~96 us cached-RLE CPU walk is the",
+        "  price of GROUPING ~45k runs without a serial pass: XLA sort",
+        "  is the only ns/record irregular-grouping primitive on this",
+        "  backend, and R is padded 3.4x (capacity 128 runs/row vs mean",
+        "  37.8) because compaction-before-sorting is itself the problem",
+        "  being solved. Falsified alternatives (measured, this fixture):",
+        "  pixel sort 1.9 ms + assoc-scan pair 3.5 ms (the r4 design);",
+        "  gather grouping ~7 ns/elt = 9+ ms; scatter-add histogram ~=",
+        "  gathers; per-strip Pallas enumeration ~450 ns/label = 20+ ms;",
+        "  stable sorts +50% over unstable (the r5 win that closed the",
+        "  last gap). Known next rung (unbuilt): a Pallas row-compaction",
+        "  kernel writing each row's records at its cumsum offset with",
+        "  one sequential-grid 128-wide store, shrinking the R-sort to",
+        "  ~54k records — projected ~0.4 ms. Extraction stays verified",
+        "  exactly against the scipy oracle, and rows with >128 runs",
+        "  divert to the (r4, capacity-free) pixel path under lax.cond.",
         "",
     ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
