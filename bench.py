@@ -144,6 +144,34 @@ def main():
     # = 198.5M pairs/s -> at 2048*2048 pairs/frame that is 47.32 frames/s.
     bf_big_ref_fps = (200 * 258 * 1000 / 0.260) / (2048 * 2048)
 
+    # End-to-end frontend pair (r5 VERDICT task 3): the reference's
+    # identity is a live pipeline (samples/object_recognition/main.cxx:
+    # 92-220 — detect -> describe -> match -> homography per frame).
+    # No end-to-end number is published, so the baseline is derived from
+    # the reference's own component rows, CONSERVATIVELY (unpublished
+    # stages — ORB describe, RANSAC — are excluded, which makes the
+    # reference look faster than it is): 2 x FAST9 detect (0.3358 ms,
+    # speed_compare:73-80) + KNN2 Hamming at 2000x2000 pairs scaled
+    # linearly from the 200x258 row (198.5M pairs/s, speed_compare:
+    # 135-140) = 20.15 ms -> 48.0 fps.
+    frontend_ref_fps = 1.0 / (2 * 0.3358e-3 + (2000.0 * 2000.0)
+                              / (200 * 258 * 1000 / 0.260))
+
+    from compv_tpu.calib.homography import find_homography
+    from compv_tpu.features.orb import OrbConfig, orb_detect_describe
+
+    def frontend_pair(im):
+        im2 = jnp.roll(im, (4, 7), (0, 1))
+        cfg_orb = OrbConfig(max_features=2000)
+        kp1, d1 = orb_detect_describe(im, cfg_orb)
+        kp2, d2 = orb_detect_describe(im2, cfg_orb)
+        m = knn_match(d1, d2, k=2)
+        q = jnp.stack([kp1.x, kp1.y], 1)
+        t = jnp.stack([kp2.x, kp2.y], 1)[m.train_idx[0]]
+        res = find_homography(q, t, mask=m.valid[0] & kp1.valid)
+        return (jnp.sum(jnp.where(jnp.isfinite(res.h), res.h, 0.0)),
+                jnp.sum(res.inliers))
+
     # (name, input-to-perturb, fn(im) -> (f32 acc, int checksum), ref fps)
     # MEASUREMENT NOTE (r4): on the axon tunnel, block_until_ready can
     # return before device completion (pipeline buffering), which briefly
@@ -232,6 +260,8 @@ def main():
          lambda lb: (lambda r: (jnp.sum(r.area).astype(jnp.float32),
                                 jnp.sum(r.box_x1)))(
              ccl_features_from_labels(lb, CclConfig())), 10000 / 0.956),
+        # End-to-end ORB frontend pair at 720p (see frontend_ref_fps above)
+        ("frontend_pair_720p", gray, frontend_pair, frontend_ref_fps),
         # MSER on the text image (speed_compare:188-195: 27072 ms / 1k)
         ("mser_text", text,
          lambda im: (lambda r: (jnp.sum(r.area).astype(jnp.float32),

@@ -11,11 +11,14 @@ eigenvector -> denormalize -> h22-normalize.
 
 TPU redesign (SURVEY.md §2.6 item 5): instead of thread-racing sequential
 chains, ALL hypotheses are evaluated at once — sample (S, 4) point subsets
-with jax.random, vmap the 4-point DLT over hypotheses, score all S x N
-transfer errors as one batched einsum, argmax inliers. The adaptive-budget
-while_loop is unnecessary at S≈512 hypotheses (p=0.995 needs ~72 iters at
-50% inliers); a fixed S both saturates the VPU/MXU and keeps shapes static.
-eigh replaces the Jacobi port (jnp.linalg.eigh is XLA-native).
+with jax.random, solve each 4-point system in CLOSED FORM (projective-basis
+construction, _h_from_quad — r5: the vmapped 9x9 eigh it replaces measured
+~8 ms/frame at S=512), score all S x N transfer errors as one batched
+einsum, argmax inliers. The adaptive-budget while_loop is unnecessary at
+S≈512 hypotheses (p=0.995 needs ~72 iters at 50% inliers); a fixed S both
+saturates the VPU/MXU and keeps shapes static. The final all-inlier refine
+keeps the normalized DLT (one eigh; jnp.linalg.eigh is XLA-native and
+replaces the reference's Jacobi port).
 """
 from __future__ import annotations
 
@@ -83,12 +86,64 @@ def compute_homography_dlt(src: jax.Array, dst: jax.Array,
     return h / h22
 
 
+def _inv3x3(m: jax.Array) -> jax.Array:
+    """Closed-form adjugate 3x3 inverse (batched-friendly; no LU loop)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, hh, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    ca = e * i - f * hh
+    cb = f * g - d * i
+    cc = d * hh - e * g
+    det = a * ca + b * cb + c * cc
+    det = jnp.where(jnp.abs(det) < 1e-20, jnp.inf, det)
+    adj = jnp.stack([
+        jnp.stack([ca, c * hh - b * i, b * f - c * e], -1),
+        jnp.stack([cb, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([cc, b * g - a * hh, a * e - b * d], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def _h_from_quad(src4: jax.Array, dst4: jax.Array) -> jax.Array:
+    """Exact homography through 4 point pairs via the projective-basis
+    construction: A(q) = [q1 q2 q3] * diag(inv([q1 q2 q3]) @ q4) maps the
+    canonical basis onto quad q, so H = A(dst) @ A(src)^-1 — two
+    closed-form 3x3 adjugate inverses instead of the 9x9 eigh the DLT
+    needs (a vmapped 512-hypothesis eigh measured ~8 ms/frame at 720p;
+    this form is a few fused VPU ops). Similarity-normalized per quad
+    (centroid/RMS, like Hartley) to keep f32 conditioning at 4k coords."""
+
+    def norm(q):
+        c = jnp.mean(q, axis=0)
+        s = jnp.sqrt(jnp.mean(jnp.sum((q - c) ** 2, axis=1)) + 1e-12)
+        return (q - c) / s, c, s
+
+    def basis(q):
+        m = jnp.stack([q[:3, 0], q[:3, 1], jnp.ones((3,), q.dtype)], 0)
+        p4 = jnp.stack([q[3, 0], q[3, 1], jnp.asarray(1.0, q.dtype)])
+        lam = _inv3x3(m) @ p4
+        return m * lam[None, :]
+
+    s_n, sc, ss = norm(src4)
+    d_n, dc, ds = norm(dst4)
+    hn = basis(d_n) @ _inv3x3(basis(s_n))
+    # denormalize: H = T_dst^-1 @ Hn @ T_src, both similarities
+    t_src = jnp.array([[1.0, 0.0, -sc[0]], [0.0, 1.0, -sc[1]],
+                       [0.0, 0.0, ss]], src4.dtype) / ss
+    t_dst_inv = jnp.array([[ds, 0.0, dc[0]], [0.0, ds, dc[1]],
+                           [0.0, 0.0, 1.0]], dst4.dtype)
+    h = t_dst_inv @ hn @ t_src
+    h22 = h[2, 2]
+    h22 = jnp.where(jnp.abs(h22) < 1e-12, 1e-12, h22)
+    return h / h22
+
+
 def symmetric_transfer_error(h: jax.Array, src: jax.Array, dst: jax.Array
                              ) -> jax.Array:
     """Per-point d(H src, dst)^2 + d(H^-1 dst, src)^2 (countInliers,
     calib_homography.cxx:498)."""
     fwd = apply_homography(h, src)
-    hinv = jnp.linalg.inv(h + 1e-12 * jnp.eye(3, dtype=h.dtype))
+    hinv = _inv3x3(h + 1e-12 * jnp.eye(3, dtype=h.dtype))
     bwd = apply_homography(hinv, dst)
     e_f = jnp.sum((fwd - dst) ** 2, axis=1)
     e_b = jnp.sum((bwd - src) ** 2, axis=1)
@@ -148,7 +203,7 @@ def find_homography(src: jax.Array, dst: jax.Array,
     def solve_one(sample_idx):
         s4 = src[sample_idx]
         d4 = dst[sample_idx]
-        return compute_homography_dlt(s4, d4)
+        return _h_from_quad(s4, d4)
 
     hs = jax.vmap(solve_one)(idx)                                  # (S, 3, 3)
     # hypothesis hygiene: reject colinear samples and degenerate solutions

@@ -104,29 +104,75 @@ def _disc_mask_and_grids(radius: int):
 _DISC_MASK, _DISC_X, _DISC_Y = _disc_mask_and_grids(PATCH_RADIUS)
 
 
+def _m10_map(img: jax.Array) -> jax.Array:
+    """Dense map of the disc first moment m10(y, x) = sum over the
+    radius-15 disc of dx * I(y+dy, x+dx), via static shifts only.
+
+    Row moments build INCREMENTALLY over the half-width e:
+    M_e = M_{e-1} + e * (I(., x+e) - I(., x-e)), then the disc is 31
+    row-shifted copies picking M_{e(|dy|)}, e(dy) = floor(sqrt(r^2-dy^2)).
+    Everything is f32-exact for u8 input: |M_e| <= 255 * 2 * sum(d) and
+    |m10| <= 255 * 15 * 961 are both < 2^24 (a cumsum-based window would
+    carry ~2^31 prefixes and lose integer exactness). Zero padding only
+    affects map entries within r of the border, which callers never
+    gather (keypoint centers are clamped to the interior)."""
+    f = img.astype(jnp.float32)
+    h, w = f.shape
+    r = PATCH_RADIUS
+
+    def shx(a, d):
+        if d > 0:
+            return jnp.pad(a, ((0, 0), (0, d)))[:, d:]
+        return jnp.pad(a, ((0, 0), (-d, 0)))[:, :w]
+
+    def shy(a, d):
+        if d == 0:
+            return a
+        if d > 0:
+            return jnp.pad(a, ((0, d), (0, 0)))[d:, :]
+        return jnp.pad(a, ((-d, 0), (0, 0)))[:h, :]
+
+    es = [int(np.floor(np.sqrt(r * r - dy * dy))) for dy in range(r + 1)]
+    m_by_e = {0: jnp.zeros_like(f)}
+    m = jnp.zeros_like(f)
+    for e in range(1, r + 1):
+        m = m + float(e) * (shx(f, e) - shx(f, -e))
+        m_by_e[e] = m
+    out = m_by_e[es[0]]
+    for dy in range(1, r + 1):
+        me = m_by_e[es[dy]]
+        out = out + shy(me, dy) + shy(me, -dy)
+    return out
+
+
 def patch_orientation(img: jax.Array, x: jax.Array, y: jax.Array,
                       valid: jax.Array) -> jax.Array:
     """IC-moment orientation in degrees [0,360) for keypoints at integer-
     rounded (x, y) on ``img``. Batched over the keypoint axis.
 
     m10 = sum(x_rel * I), m01 = sum(y_rel * I) over the radius-15 disc;
-    orient = atan2(m01, m10) (orb_dete.cxx:336-344)."""
+    orient = atan2(m01, m10) (orb_dete.cxx:336-344).
+
+    r5 formulation: the moments are LINEAR in the image, so both are
+    dense maps computed once per level and gathered at the K keypoints —
+    2 gathers/keypoint instead of a 961-element patch slice per keypoint
+    (the vmapped-slice form measured 2 ms for ~2.3k keypoints across the
+    720p pyramid). The disc is a stack of 31 row windows with 16
+    distinct half-widths e(dy) = floor(sqrt(r^2 - dy^2)); each row's
+    centered moment builds incrementally over e and the vertical stack
+    is 31 static row shifts (~90 cheap VPU passes; a direct 31x31
+    single-channel conv has no MXU path and measured 106 ms at 720p).
+    Integer-exact for u8 input — see _m10_map."""
     h, w = img.shape
-    f = img.astype(jnp.float32)
+    m10_map = _m10_map(img)
+    m01_map = _m10_map(img.T).T
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), PATCH_RADIUS,
                   w - 1 - PATCH_RADIUS)
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), PATCH_RADIUS,
                   h - 1 - PATCH_RADIUS)
-
-    def one(cx, cy):
-        patch = jax.lax.dynamic_slice(
-            f, (cy - PATCH_RADIUS, cx - PATCH_RADIUS),
-            (PATCH_DIAMETER, PATCH_DIAMETER))
-        m10 = jnp.sum(patch * _DISC_MASK * _DISC_X)
-        m01 = jnp.sum(patch * _DISC_MASK * _DISC_Y)
-        return jnp.rad2deg(jnp.arctan2(m01, m10))
-
-    deg = jax.vmap(one)(xi, yi)
+    m10 = m10_map[yi, xi]
+    m01 = m01_map[yi, xi]
+    deg = jnp.rad2deg(jnp.arctan2(m01, m10))
     deg = jnp.where(deg < 0, deg + 360.0, deg)
     return jnp.where(valid, deg, 0.0)
 
@@ -157,12 +203,48 @@ def brief_describe(blurred: jax.Array, x: jax.Array, y: jax.Array,
 
     rax, ray = rot(ax, ay)
     rbx, rby = rot(bx, by)
-    gx_a = jnp.clip(xi[:, None] + rax, 0, w - 1)
-    gy_a = jnp.clip(yi[:, None] + ray, 0, h - 1)
-    gx_b = jnp.clip(xi[:, None] + rbx, 0, w - 1)
-    gy_b = jnp.clip(yi[:, None] + rby, 0, h - 1)
-    a = f[gy_a, gx_a]
-    b = f[gy_b, gx_b]
+
+    # r5 MXU formulation: one 31x31 patch per keypoint (vmapped
+    # dynamic_slice — contiguous rows lower ~7x cheaper than the (K,256)
+    # element gathers this replaces, which measured ~10 ms at 2.3k
+    # keypoints/720p), then each rotated sample is selected by a row
+    # one-hot x patch x col one-hot bilinear form batched on the MXU.
+    # Bit-exact vs the gather form: pattern radius <= 14 keeps every
+    # rotated+rounded offset inside the patch, one-hots are 0/1 (exact
+    # in bf16), and u8 pixel values <= 255 are exact in bf16 with f32
+    # accumulation. Keypoints are clamped to patch-interior centers
+    # (identical for ORB's border-erased keypoints; direct calls with
+    # border keypoints sample the shifted interior patch instead of
+    # edge-clamped pixels).
+    r = PATCH_RADIUS
+    cx = jnp.clip(xi, r, w - 1 - r)
+    cy = jnp.clip(yi, r, h - 1 - r)
+    integer_img = jnp.issubdtype(blurred.dtype, jnp.integer)
+    pdt = jnp.bfloat16 if integer_img else jnp.float32
+    prec = None if integer_img else jax.lax.Precision.HIGHEST
+    fp = blurred.astype(pdt)
+
+    def one(cx_, cy_):
+        return jax.lax.dynamic_slice(fp, (cy_ - r, cx_ - r),
+                                     (PATCH_DIAMETER, PATCH_DIAMETER))
+
+    patches = jax.vmap(one)(cx, cy)                    # (K, 31, 31)
+
+    cols = jnp.arange(PATCH_DIAMETER, dtype=jnp.int32)
+
+    def sample(rx, ry):
+        col_oh = (jnp.clip(rx + r, 0, 2 * r)[..., None] == cols
+                  ).astype(pdt)                        # (K, 256, 31)
+        row_oh = (jnp.clip(ry + r, 0, 2 * r)[..., None] == cols
+                  ).astype(pdt)
+        tmp = jnp.einsum("krc,kbc->kbr", patches, col_oh,
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
+        return jnp.einsum("kbr,kbr->kb", tmp,
+                          row_oh.astype(jnp.float32))
+
+    a = sample(rax, ray)
+    b = sample(rbx, rby)
     bits = (a < b).astype(jnp.uint8)
     return jnp.where(valid[:, None], bits, jnp.uint8(0))
 
