@@ -39,6 +39,9 @@ class Camera:
         self._cb: Optional[FrameCallback] = None
         self._thread: Optional[threading.Thread] = None
         self._running = threading.Event()
+        self.finished = threading.Event()   # set when the capture loop
+                                            # exits (exhaustion or stop) —
+                                            # run_live waits on it
 
     def set_callback(self, cb: FrameCallback) -> None:
         self._cb = cb
@@ -47,7 +50,8 @@ class Camera:
         if self._thread is not None:
             return
         self._running.set()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.finished.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def stop(self) -> None:
@@ -55,6 +59,12 @@ class Camera:
         if self._thread is not None:
             self._thread.join(timeout=5.0)
             self._thread = None
+
+    def _run(self):
+        try:
+            self._loop()
+        finally:
+            self.finished.set()
 
     def _loop(self):
         raise NotImplementedError

@@ -59,6 +59,8 @@ def _propagate_body(fg, cnt_r, cnt_c, hp, wp, conn8, jump_every,
         # (prefix counts are monotone along the axis).
         for d in jump_dists:
             for axis, cnt, size in ((0, cnt_r, hp), (1, cnt_c, wp)):
+                if d >= size:      # jump longer than the (padded) axis:
+                    continue       # no valid all-fg window can exist
                 # & fg: a window test alone would let the backward jump
                 # write labels into background pixels, which the next
                 # neighbor-min would then propagate (label leak).

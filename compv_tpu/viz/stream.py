@@ -71,7 +71,8 @@ class MjpegServer:
                     "Content-Type",
                     f"multipart/x-mixed-replace; boundary={_BOUNDARY.decode()}")
                 self.end_headers()
-                outer.clients += 1
+                with outer._cond:
+                    outer.clients += 1
                 last_seq = -1
                 try:
                     while True:
@@ -87,7 +88,8 @@ class MjpegServer:
                 except (BrokenPipeError, ConnectionResetError):
                     return
                 finally:
-                    outer.clients -= 1
+                    with outer._cond:
+                        outer.clients -= 1
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_port
@@ -167,7 +169,16 @@ def run_live(camera, process: Callable[[np.ndarray], np.ndarray],
     camera.set_callback(on_frame)
     camera.start()
     try:
-        done.wait(timeout=seconds if seconds is not None else None)
+        deadline = None if seconds is None else t0 + seconds
+        # wake on EITHER the frame-count/deadline signal or the camera's
+        # capture loop exiting (file/synthetic cameras exhaust; r4 ADVICE:
+        # run_live used to block past exhaustion)
+        while not done.is_set() and not camera.finished.is_set():
+            step = 0.1 if deadline is None else \
+                max(0.0, min(0.1, deadline - time.perf_counter()))
+            if deadline is not None and step <= 0.0:
+                break
+            done.wait(timeout=step)
     finally:
         camera.stop()
     dt = max(time.perf_counter() - t0, 1e-9)

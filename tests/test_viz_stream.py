@@ -78,3 +78,15 @@ class TestMjpegServer:
             assert jpg[:2] == b"\xff\xd8"
         assert all(s == (64, 96) for s in seen)
         assert not cam._running.is_set()
+
+    def test_run_live_stops_on_camera_exhaustion(self):
+        """A finite camera (n_frames) must end run_live even with no
+        seconds/max_frames bound (r4 ADVICE: it used to block forever)."""
+        import time as _time
+        cam = SyntheticCamera(width=32, height=24, fps=200.0, n_frames=4)
+        with MjpegServer(port=0) as srv:
+            t0 = _time.perf_counter()
+            stats = run_live(cam, lambda f: f, srv)
+            assert _time.perf_counter() - t0 < 5.0
+        assert stats["frames"] == 4
+        assert cam.finished.is_set()
