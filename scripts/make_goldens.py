@@ -80,7 +80,53 @@ def build() -> dict:
     hm = np.asarray(res.h) / np.asarray(res.h)[2, 2]
     g["homography_hash_q2"] = quantized_hash(hm, decimals=2)
     g["homography_inliers"] = int(res.num_inliers)
+
+    # --- irregular kernels (r5 VERDICT task 5): CCL / SHT / MSER / BA
+    # golden tuples for the determinism matrix's resharding axis
+    from compv_tpu.core.golden import ccl_summary, lines_summary, mser_summary
+    from compv_tpu.features.canny import CannyConfig, canny
+    from compv_tpu.features.ccl import CclConfig, ccl_features
+    from compv_tpu.features.hough import HoughShtConfig, hough_sht
+    from compv_tpu.features.mser import MserConfig, mser_detect
+
+    ccl_res = ccl_features(binary, CclConfig(max_components=2048))
+    assert int(ccl_res.num_components) <= 2048, "raise the golden capacity"
+    g["ccl_features_summary"] = ccl_summary(ccl_res)
+
+    edges = canny(gray, CannyConfig())
+    g["hough_sht_summary"] = lines_summary(hough_sht(edges, HoughShtConfig()))
+
+    mres = mser_detect(gray[:160, :224], MserConfig(max_regions=64))
+    assert int(mres.overflowed) == 0, "MSER golden must not overflow"
+    g["mser_summary"] = mser_summary(mres)
+
+    from compv_tpu.slam.ba import BAConfig, BAProblem, ba_step
+    prob = _ba_golden_problem()
+    p1, lam1, cost = ba_step(prob, jnp.float32(1e-3),
+                             BAConfig(cg_iterations=8))
+    g["ba_step_cost_before"] = round(float(cost), 1)
+    g["ba_step_cam_hash_q3"] = quantized_hash(np.asarray(p1.cameras),
+                                              decimals=3)
     return g
+
+
+def _ba_golden_problem():
+    """Deterministic 16-cam / 200-lm / 1600-obs BA problem (o divisible by
+    8 so the matrix's distributed row shards it evenly)."""
+    from compv_tpu.slam.ba import BAProblem
+    rs = np.random.default_rng(23)
+    f, l, o = 16, 200, 1600
+    cams = np.concatenate([rs.normal(0, 0.05, (f, 3)),
+                           rs.normal(0, 0.5, (f, 3)) + [0, 0, 4]], 1)
+    lms = rs.normal(0, 1.5, (l, 3)) + [0, 0, 8]
+    return BAProblem(jnp.asarray(cams, jnp.float32),
+                     jnp.asarray(lms, jnp.float32),
+                     jnp.asarray([400.0, 400.0, 240.0, 180.0], jnp.float32),
+                     jnp.asarray(rs.integers(0, f, o), jnp.int32),
+                     jnp.asarray(rs.integers(0, l, o), jnp.int32),
+                     jnp.asarray(rs.normal(0, 40.0, (o, 2)) + 200,
+                                 jnp.float32),
+                     jnp.ones((o,), bool))
 
 
 def _sfm_metrics(n_frames: int, h: int, w: int, config=None) -> dict:

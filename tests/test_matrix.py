@@ -160,6 +160,81 @@ class TestPrecisionExactness:
         np.testing.assert_array_equal(h.astype(np.int64), want)
 
 
+# ---- axis 1 (cont.): the irregular kernels most likely to diverge under
+# resharding — CCL labels/features, Hough SHT peaks, MSER region sets and
+# one BA step (r5 VERDICT task 5). Integer-exact pipelines must reproduce
+# their goldens bit-for-bit from row-sharded inputs; BA (f32 psum) must be
+# bitwise reproducible at FIXED placement and within f32-reassociation
+# tolerance across placements.
+
+@pytest.mark.slow
+class TestIrregularSharded:
+    def test_ccl_sharded(self, inputs):
+        from compv_tpu.core.golden import ccl_summary
+        from compv_tpu.features.ccl import CclConfig, ccl_features
+        x = _row_sharded(inputs["binary"])
+        res = ccl_features(x, CclConfig(max_components=2048))
+        assert ccl_summary(res) == GOLD["ccl_features_summary"], \
+            "CCL features changed under sharding"
+
+    def test_sht_sharded(self, inputs):
+        from compv_tpu.core.golden import lines_summary
+        from compv_tpu.features.canny import CannyConfig, canny
+        from compv_tpu.features.hough import HoughShtConfig, hough_sht
+        x = _row_sharded(inputs["gray"])
+        lines = hough_sht(canny(x, CannyConfig()), HoughShtConfig())
+        assert lines_summary(lines) == GOLD["hough_sht_summary"], \
+            "SHT peaks changed under sharding"
+
+    def test_mser_sharded(self, inputs):
+        from compv_tpu.core.golden import mser_summary
+        from compv_tpu.features.mser import MserConfig, mser_detect
+        x = _row_sharded(inputs["gray"][:160, :224])
+        res = mser_detect(x, MserConfig(max_regions=64))
+        assert mser_summary(res) == GOLD["mser_summary"], \
+            "MSER regions changed under sharding"
+
+    def test_ba_step_sharded_and_reproducible(self):
+        import sys
+        sys.path.insert(0, os.path.join(_ROOT, "scripts"))
+        from make_goldens import _ba_golden_problem
+        from compv_tpu.core.golden import quantized_hash
+        from compv_tpu.slam.ba import BAConfig, ba_step
+        from compv_tpu.parallel.mesh import make_mesh
+        from compv_tpu.parallel.sharded import make_distributed_ba_step
+
+        prob = _ba_golden_problem()
+        cfg = BAConfig(cg_iterations=8)
+        p1, _, cost = ba_step(prob, jnp.float32(1e-3), cfg)
+        assert round(float(cost), 1) == GOLD["ba_step_cost_before"]
+        assert quantized_hash(np.asarray(p1.cameras), 3) == \
+            GOLD["ba_step_cam_hash_q3"]
+
+        mesh = make_mesh(8)
+        sh = NamedSharding(mesh, P("frame"))
+        rp = NamedSharding(mesh, P())
+        pb = prob._replace(
+            cameras=jax.device_put(prob.cameras, rp),
+            landmarks=jax.device_put(prob.landmarks, rp),
+            intrinsics=jax.device_put(prob.intrinsics, rp),
+            cam_idx=jax.device_put(prob.cam_idx, sh),
+            lm_idx=jax.device_put(prob.lm_idx, sh),
+            uv=jax.device_put(prob.uv, sh),
+            valid=jax.device_put(prob.valid, sh))
+        step = make_distributed_ba_step(mesh, cfg)
+        d1 = step(pb, jnp.float32(1e-3))
+        d2 = step(pb, jnp.float32(1e-3))
+        # fixed placement => bitwise deterministic
+        np.testing.assert_array_equal(np.asarray(d1[0].cameras),
+                                      np.asarray(d2[0].cameras))
+        # across placements: identical up to f32 psum reassociation
+        np.testing.assert_allclose(np.asarray(d1[0].cameras),
+                                   np.asarray(p1.cameras),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(float(d1[2]), float(cost),
+                                   rtol=1e-5)
+
+
 # ---- completeness guard ------------------------------------------------
 
 # homography goldens: RANSAC hypotheses are vmapped (placement-free); the
@@ -168,6 +243,8 @@ _CLAIMED = set(_op_table()) | {
     "otsu_value", "fast9_thr20_nms1", "fast12_thr40_nms1",
     "fast9_thr20_nms0", "fast9_thr40_nms1",
     "homography_hash_q2", "homography_inliers",
+    "ccl_features_summary", "hough_sht_summary", "mser_summary",
+    "ba_step_cost_before", "ba_step_cam_hash_q3",
 }
 
 
