@@ -127,9 +127,11 @@ def _lookup_sorted(table_keys, table_vals, queries, invalid_key):
 
     Sort-merge: table rows and queries sort together by (key, kind); the
     running table value is reconstructed by a cumsum of per-entry value
-    DIFFS (exact in int32 — no gather-based forward fill), and one small
-    scatter restores query order. Dense (root -> val) scatter tables were
-    9 ms each at 1122x1182 (271 MB operands); this is ~0.5 ms total."""
+    DIFFS (exact in int32 — no gather-based forward fill), and a second
+    small sort by slot restores query order (r5: the (B, Q) scatter it
+    replaces cost several ms on TPU — scatters, as always). Dense
+    (root -> val) scatter tables were 9 ms each at 1122x1182 (271 MB
+    operands)."""
     b, c = table_keys.shape
     q = queries.shape[1]
     prev_v = jnp.pad(table_vals, ((0, 0), (1, 0)))[:, :-1]
@@ -149,8 +151,11 @@ def _lookup_sorted(table_keys, table_vals, queries, invalid_key):
     ffk = jax.lax.cummax(jnp.where(flag_s == 0, key_s, -1), axis=1)
     found = (ffk == key_s) & (key_s != invalid_key)
     packed = ffv * 2 + found.astype(jnp.int32)
-    out = jnp.zeros((b, q + 1), jnp.int32).at[
-        jnp.arange(b)[:, None], slot_s].set(packed)[:, :q]
+    # restore query order: queries hold unique slots 0..q-1 (tables all
+    # hold q), so sorting by slot puts them first, in order
+    _, out = jax.lax.sort([slot_s, packed], dimension=1, num_keys=1,
+                          is_stable=False)
+    out = out[:, :q]
     return (out % 2) == 1, out // 2
 
 
@@ -192,7 +197,6 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape,
         table of components with area >= min_area (amax applies only at
         final filtering so PARENT components stay in the tables)."""
         from compv_tpu.features.ccl import extract_runs
-        rec = h * kk
         run_lbl, run_x0, run_x1, counts = extract_runs(lbl, kk)
         over_runs = jnp.any(counts > kk)
         length = jnp.where(run_lbl >= 0, run_x1 - run_x0 + 1, 0)
@@ -359,19 +363,21 @@ def _mser_impl(img: jax.Array, config: MserConfig, shape,
     killed = jnp.any(nested & similar & beats, axis=1)
     keep = valid & ~killed
 
-    # ---------------- boxes for the surviving regions (one map scan)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-
-    def box_of(args):
-        row, seed = args
-        m = jax.lax.dynamic_index_in_dim(labels_flat, row, 0,
-                                         keepdims=False).reshape(h, w) == seed
-        big = jnp.int32(_BIG)
-        return (jnp.min(jnp.where(m, xi, big)), jnp.min(jnp.where(m, yi, big)),
-                jnp.max(jnp.where(m, xi, -1)), jnp.max(jnp.where(m, yi, -1)))
-
-    bx0, by0, bx1, by1 = jax.lax.map(box_of, (rows_i, sel_seed))
+    # ---------------- boxes for the surviving regions: ONE batched pass
+    # (r5: lax.map over 128 sequential full-image sweeps measured ~8 ms;
+    # gathering the level rows once and reducing (R, n) in a single
+    # program is ~3x cheaper; min-y is free — the root's row)
+    xi1 = jnp.arange(w, dtype=jnp.int32)
+    yi1 = jnp.arange(h, dtype=jnp.int32)
+    rows_lab = labels_flat[rows_i]                        # (R, n)
+    m = (rows_lab == sel_seed[:, None]).reshape(-1, h, w)
+    big = jnp.int32(_BIG)
+    anyx = jnp.any(m, axis=1)                             # (R, w)
+    anyy = jnp.any(m, axis=2)                             # (R, h)
+    bx0 = jnp.min(jnp.where(anyx, xi1[None, :], big), axis=1)
+    bx1 = jnp.max(jnp.where(anyx, xi1[None, :], -1), axis=1)
+    by1 = jnp.max(jnp.where(anyy, yi1[None, :], -1), axis=1)
+    by0 = sel_seed // w
 
     level_arr = jnp.asarray(cand_levels, jnp.int32)
     overflowed = jnp.sum(over_all).astype(jnp.int32)

@@ -213,11 +213,16 @@ def _unflatten(x, f, l):
     return x[: f * 6].reshape(f, 6), x[f * 6:].reshape(l, 3)
 
 
-def _gauge_mask(f: int, l: int, cfg: BAConfig, dtype) -> jax.Array:
+def _gauge_mask(f: int, l: int, cfg: BAConfig, dtype,
+                cam_mask=None) -> jax.Array:
     """Parameter-space mask: gauge-fix camera 0 (and optionally freeze
-    cameras or landmarks entirely)."""
+    cameras or landmarks entirely). ``cam_mask`` (F,) bool freezes the
+    False cameras — the windowed-BA primitive (frozen past cameras anchor
+    the gauge of a sliding window)."""
     cam_m = jnp.ones((f, 6), dtype)
     cam_m = cam_m.at[0].set(0.0)  # fix the first camera (gauge freedom)
+    if cam_mask is not None:
+        cam_m = cam_m * cam_mask.astype(dtype)[:, None]
     if not cfg.optimize_cameras:
         cam_m = jnp.zeros((f, 6), dtype)
     lm_m = (jnp.ones if cfg.optimize_landmarks else jnp.zeros)((l, 3), dtype)
@@ -358,7 +363,7 @@ def _cg(matvec, b, iters: int, precond=None):
 
 
 def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
-            psum_axis: str | None = None):
+            psum_axis: str | None = None, cam_mask=None):
     """One damped-GN step. Returns (new BAProblem, new lambda, cost_before).
 
     The normal system is applied matrix-free, but with the Jacobian
@@ -375,7 +380,7 @@ def ba_step(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
     f = prob.cameras.shape[0]
     l = prob.landmarks.shape[0]
     dtype = prob.cameras.dtype
-    mask = _gauge_mask(f, l, cfg, dtype)
+    mask = _gauge_mask(f, l, cfg, dtype, cam_mask)
     mc, ml = _unflatten(mask, f, l)
 
     def psum(x):
@@ -527,11 +532,12 @@ def ba_step_reduce_scatter(prob: BAProblem, lam: jax.Array, cfg: BAConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def ba_solve(prob: BAProblem, cfg: BAConfig = BAConfig()):
-    """Full damped-GN loop (single shard). Returns (problem, final_cost)."""
+def ba_solve(prob: BAProblem, cfg: BAConfig = BAConfig(), cam_mask=None):
+    """Full damped-GN loop (single shard). Returns (problem, final_cost).
+    ``cam_mask`` (F,) bool freezes the False cameras (windowed BA)."""
     def body(_, state):
         p, lam, _ = state
-        return ba_step(p, lam, cfg)
+        return ba_step(p, lam, cfg, cam_mask=cam_mask)
 
     init = (prob, jnp.asarray(cfg.damping, prob.cameras.dtype),
             jnp.asarray(0.0, prob.cameras.dtype))

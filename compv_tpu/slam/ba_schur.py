@@ -52,6 +52,11 @@ class SchurConfig:
     damping: float = 1e-3
     lm_chunk: int = 512          # landmarks eliminated per scan step
     lm_partitioned: bool = False  # obs sharding keeps each lm on one shard
+    robust_delta: float = 0.0    # IRLS (Cauchy-like) whitening, matching
+                                 # BAConfig.robust_delta — without it a
+                                 # Schur-driven SfM run lets outliers pull
+                                 # weakly-constrained bending modes (12-fr
+                                 # probe: ATE 4.8% of span vs 0.5% robust)
 
 
 def max_obs_per_landmark(lm_idx, valid, num_landmarks: int) -> int:
@@ -79,7 +84,8 @@ def _obs_of_lm_table(lm_idx, valid, l: int, k: int, o: int):
 
 
 def ba_step_schur(prob: BAProblem, lam: jax.Array, cfg: SchurConfig,
-                  psum_axis: str | None = None, *, max_obs_per_lm: int = 16):
+                  psum_axis: str | None = None, *, max_obs_per_lm: int = 16,
+                  cam_mask=None):
     """One damped-GN step with explicit Schur elimination of landmarks.
     Camera 0 is gauge-fixed. Returns (new prob, new lam, cost_before).
 
@@ -99,6 +105,13 @@ def ba_step_schur(prob: BAProblem, lam: jax.Array, cfg: SchurConfig,
     r, jc, jl = obs_jacobian_blocks(prob.cameras, prob.landmarks,
                                     prob.intrinsics, prob.cam_idx,
                                     prob.lm_idx, prob.uv, prob.valid)
+    w = None
+    if cfg.robust_delta > 0:
+        d2 = jnp.asarray(cfg.robust_delta, r.dtype) ** 2
+        w = jnp.sqrt(d2 / (d2 + jnp.sum(r * r, axis=1)))
+        r = r * w[:, None]
+        jc = jc * w[:, None, None]
+        jl = jl * w[:, None, None]
     cost = psum(jnp.sum(r * r))
 
     # landmark-side observation table, built first so the camera-side
@@ -187,10 +200,17 @@ def ba_step_schur(prob: BAProblem, lam: jax.Array, cfg: SchurConfig,
     s = s.at[jnp.arange(f), jnp.arange(f)].add(hcc_d)
     rhs_c = gc + rhs_red
 
-    # gauge: fix camera 0 by pinning its block (identity row/col, zero rhs)
-    s = s.at[0, :, :, :].set(0.0).at[:, 0, :, :].set(0.0)
-    s = s.at[0, 0].set(eye6)
-    rhs_c = rhs_c.at[0].set(0.0)
+    # gauge: pin camera 0 (identity block, zero rhs) — plus every camera
+    # cam_mask freezes (windowed BA: frozen past cameras anchor the
+    # window's gauge)
+    pin = jnp.zeros((f,), bool).at[0].set(True)
+    if cam_mask is not None:
+        pin = pin | ~cam_mask
+    keep = (~pin).astype(dtype)
+    s = s * keep[:, None, None, None] * keep[None, :, None, None]
+    s = s.at[jnp.arange(f), jnp.arange(f)].add(
+        eye6[None] * pin.astype(dtype)[:, None, None])
+    rhs_c = rhs_c * keep[:, None]
 
     # S is symmetric positive definite after damping + gauge pinning:
     # Cholesky solve (jnp.linalg.solve would LU-factor, ~2x the flops and
@@ -209,6 +229,8 @@ def ba_step_schur(prob: BAProblem, lam: jax.Array, cfg: SchurConfig,
     cams1 = prob.cameras + dx_c
     lms1 = prob.landmarks + dx_l
     r1 = ba_residuals(cams1, lms1, prob)
+    if w is not None:
+        r1 = r1 * w[:, None]          # frozen IRLS weights, like ba_step
     cost1 = psum(jnp.sum(r1 * r1))
     better = cost1 < cost
     cams = jnp.where(better, cams1, prob.cameras)
@@ -218,10 +240,11 @@ def ba_step_schur(prob: BAProblem, lam: jax.Array, cfg: SchurConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_obs_per_lm"))
-def _solve_jit(prob, cfg, max_obs_per_lm):
+def _solve_jit(prob, cfg, max_obs_per_lm, cam_mask=None):
     def body(_, state):
         p, lam, _ = state
-        return ba_step_schur(p, lam, cfg, max_obs_per_lm=max_obs_per_lm)
+        return ba_step_schur(p, lam, cfg, max_obs_per_lm=max_obs_per_lm,
+                             cam_mask=cam_mask)
 
     init = (prob, jnp.asarray(cfg.damping, prob.cameras.dtype),
             jnp.asarray(0.0, prob.cameras.dtype))
@@ -230,10 +253,12 @@ def _solve_jit(prob, cfg, max_obs_per_lm):
     return p, jnp.sum(r * r)
 
 
-def ba_solve_schur(prob: BAProblem, cfg: SchurConfig = SchurConfig()):
+def ba_solve_schur(prob: BAProblem, cfg: SchurConfig = SchurConfig(),
+                   cam_mask=None):
     """Damped-GN loop with Schur steps. Returns (problem, final cost).
     Host-side wrapper: sizes the static per-landmark cap from the data so
-    no observation is dropped, then runs the jitted loop."""
+    no observation is dropped, then runs the jitted loop. ``cam_mask``
+    (F,) bool freezes the False cameras (windowed BA)."""
     k = max_obs_per_landmark(prob.lm_idx, prob.valid,
                              prob.landmarks.shape[0])
-    return _solve_jit(prob, cfg, k)
+    return _solve_jit(prob, cfg, k, cam_mask)

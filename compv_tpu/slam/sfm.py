@@ -133,6 +133,17 @@ class SfmConfig:
     local_ba: BAConfig = BAConfig(iterations=5, cg_iterations=25,
                                   robust_delta=3.0)
     ratio: float = 0.8
+    solver: str = "cg"              # "cg" (matrix-free GN) | "schur"
+                                    # (explicit Schur elimination,
+                                    # slam/ba_schur.py); both apply the
+                                    # robust_delta IRLS whitening
+    local_window: int | None = None  # windowed local BA: only cameras in
+                                    # [i-window, i] move (older cameras
+                                    # freeze and anchor the gauge) and only
+                                    # their observations enter the solve —
+                                    # bounded per-frame cost on long runs
+    checkpoint_every: int | None = None  # ALSO checkpoint every N frames
+                                    # (requires checkpoint_dir)
     max_landmarks: int = 4096
     max_obs: int = 16384            # fixed obs capacity: one BA compile
     min_bootstrap_flow: float = 0.05  # median (0,b) match flow, fraction of
@@ -418,15 +429,29 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
         ob_ok[:cnt] = True
         return cnt
 
-    def run_ba(cfg: BAConfig):
-        """Solve BA over the current buffers; write back cams/landmarks."""
+    def run_ba(cfg: BAConfig, frame_lo: int | None = None):
+        """Solve BA over the current buffers; write back cams/landmarks.
+        ``frame_lo`` activates the sliding window: cameras < frame_lo
+        freeze (anchoring the window's gauge) and only observations of
+        frames >= frame_lo enter the solve."""
         nonlocal cams
+        ok = ob_ok if frame_lo is None else (ob_ok & (ob_ci >= frame_lo))
+        cmask = None
+        if frame_lo is not None:
+            cmask = jnp.asarray(np.arange(n_frames) >= frame_lo)
         prob = BAProblem(
             cameras=jnp.asarray(cams), landmarks=jnp.asarray(landmarks),
             intrinsics=intr, cam_idx=jnp.asarray(ob_ci),
             lm_idx=jnp.asarray(ob_li), uv=jnp.asarray(ob_uv),
-            valid=jnp.asarray(ob_ok))
-        solved, _ = ba_solve(prob, cfg)
+            valid=jnp.asarray(ok))
+        if config.solver == "schur":
+            from compv_tpu.slam.ba_schur import SchurConfig, ba_solve_schur
+            scfg = SchurConfig(iterations=cfg.iterations,
+                               damping=cfg.damping,
+                               robust_delta=cfg.robust_delta)
+            solved, _ = ba_solve_schur(prob, scfg, cam_mask=cmask)
+        else:
+            solved, _ = ba_solve(prob, cfg, cam_mask=cmask)
         cams = np.array(solved.cameras)          # writable copy
         landmarks[:] = np.asarray(solved.landmarks)
         return solved
@@ -506,9 +531,21 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
                 n_lms += 1
         note_first_obs(i)
 
-        # local BA over everything registered so far (drift control)
+        # local BA (drift control): everything registered so far, or the
+        # sliding window when config.local_window is set
         rebuild_obs()
-        run_ba(config.local_ba)
+        lo = None if config.local_window is None else \
+            max(i - config.local_window, 0)
+        run_ba(config.local_ba, frame_lo=lo)
+        if (checkpoint_dir is not None and config.checkpoint_every
+                and i % config.checkpoint_every == 0):
+            from compv_tpu.io.serialize import save_checkpoint
+            save_checkpoint(checkpoint_dir, n_frames, {
+                "cams": cams, "landmarks": landmarks, "lm_valid": lm_valid,
+                "ob_ci": ob_ci, "ob_li": ob_li, "ob_uv": ob_uv,
+                "ob_ok": ob_ok, "k": np.asarray(k, np.float32),
+                "n_tracks": np.array([n_tracks], np.int32),
+                "n_obs": np.array([int(ob_ok.sum())], np.int32)})
 
     frame_stats = [stats_of[i] for i in sorted(stats_of)]
     # --- final global BA + outlier prune + re-solve
@@ -544,7 +581,15 @@ def _finalize_sfm(cams, landmarks, lm_valid, ob_ci, ob_li, ob_uv, ob_ok,
             lm_idx=jnp.asarray(li), uv=jnp.asarray(uv),
             valid=jnp.asarray(ok))
         if mesh is None:
-            solved, _ = ba_solve(prob, cfg)
+            if config.solver == "schur":
+                from compv_tpu.slam.ba_schur import (SchurConfig,
+                                                     ba_solve_schur)
+                solved, _ = ba_solve_schur(
+                    prob, SchurConfig(iterations=cfg.iterations,
+                                      damping=cfg.damping,
+                                      robust_delta=cfg.robust_delta))
+            else:
+                solved, _ = ba_solve(prob, cfg)
             return solved
         from compv_tpu.parallel.sharded import distributed_ba_solve
         import jax as _jax

@@ -166,11 +166,28 @@ def build_sfm_long() -> dict:
     return _sfm_metrics(32, 480, 640, cfg)
 
 
+def sfm_128_config():
+    """The 128-frame production-shaped run (r5 VERDICT task 4): Schur
+    solver, sliding-window local BA (8 frames), periodic checkpoints —
+    exercises ba_step_schur, camera freezing, landmark capacity and
+    checkpoint cadence at sequence scale."""
+    from compv_tpu.slam.sfm import SfmConfig
+    return SfmConfig(solver="schur", local_window=8, checkpoint_every=16,
+                     max_obs=131072, max_landmarks=16384)
+
+
+def build_sfm_128() -> dict:
+    return _sfm_metrics(128, 480, 640, sfm_128_config())
+
+
 if __name__ == "__main__":
-    if "--sfm" in sys.argv or "--sfm-long" in sys.argv:
-        name = "sfm_long.json" if "--sfm-long" in sys.argv else "sfm.json"
+    if "--sfm" in sys.argv or "--sfm-long" in sys.argv \
+            or "--sfm-128" in sys.argv:
+        name = ("sfm_128.json" if "--sfm-128" in sys.argv else
+                "sfm_long.json" if "--sfm-long" in sys.argv else "sfm.json")
         out_sfm = os.path.join(os.path.dirname(OUT), name)
-        g = build_sfm_long() if "--sfm-long" in sys.argv else build_sfm()
+        g = (build_sfm_128() if "--sfm-128" in sys.argv else
+             build_sfm_long() if "--sfm-long" in sys.argv else build_sfm())
         with open(out_sfm, "w") as f:
             json.dump(g, f, indent=1, sort_keys=True)
         print(f"wrote {out_sfm}:")

@@ -328,7 +328,16 @@ def main():
         "  dot_general unsupported by Mosaic; scatter bincount lowers",
         "  poorly. The r3 'E x 141 writes/theta' model undercounted by",
         "  assuming 1 op/element and lane-perfect packing of the 13-wide",
-        "  hi factor.",
+        "  hi factor. r5 (VERDICT task 6) falsified the sort-based",
+        "  per-theta bincount with measurements at E=64k/180 thetas: the",
+        "  batched (180, 65536) i32 sort ALONE is 3.64 ms (57% of the",
+        "  entire current row before any accumulator exists), and",
+        "  rebuilding the dense (180, 1664) accumulator from the sorted",
+        "  rows needs either a first-occurrence scatter-min (measured",
+        "  106.9 ms — TPU scatter, as always) or a second same-size",
+        "  compaction sort (+3.6 ms) — every variant lands at >= 6.4 ms.",
+        "  The E log E VPU cost model does not beat the lane-bound",
+        "  one-hot at this problem size; the one-hot stays.",
         "- **ba_step**: the r3 16.5 s/step for the AD-scatter path was",
         "  real (re-confirmed 16.6 s/step with value-synced timing). The",
         "  r4 explicit-block rewrite measured 46 ms/step; replacing the",

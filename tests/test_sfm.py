@@ -146,6 +146,38 @@ class TestSfmEndToEnd:
         assert ate <= 2.0 * g["ate_rmse"], (ate, g["ate_rmse"])
         assert rpe <= 2.0 * g["rpe_rmse"], (rpe, g["rpe_rmse"])
 
+    @pytest.mark.slow
+    def test_128_frame_windowed_schur_golden(self, tmp_path):
+        """r5 VERDICT task 4: sequence-scale run — 128 frames @ 480p with
+        Schur-solver BA, 8-frame sliding-window local BA (frozen past
+        cameras anchor the gauge), periodic checkpoints and landmark
+        capacity churn. Locked values live in goldens/sfm_128.json
+        (regenerate with scripts/make_goldens.py --sfm-128)."""
+        import sys
+        from compv_tpu.slam.evaluate import rpe_rmse
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts"))
+        from make_goldens import sfm_128_config
+        path_128 = os.path.join(os.path.dirname(GOLDEN_PATH),
+                                "sfm_128.json")
+        with open(path_128) as f:
+            g = json.load(f)
+        seq = g["sequence"]
+        frames, gt, k = render_orbit_sequence(seq["n_frames"], seq["h"],
+                                              seq["w"])
+        res = run_sfm(frames, k, sfm_128_config(),
+                      checkpoint_dir=str(tmp_path))
+        ate = float(ate_rmse(jnp.asarray(res.positions), jnp.asarray(gt),
+                             with_scale=True))
+        rpe = float(rpe_rmse(jnp.asarray(res.positions), jnp.asarray(gt)))
+        span = float(np.linalg.norm(gt[-1] - gt[0]))
+        assert ate <= 2.0 * g["ate_rmse"], (ate, g["ate_rmse"])
+        assert rpe <= 2.0 * g["rpe_rmse"], (rpe, g["rpe_rmse"])
+        assert 100.0 * ate / span <= 1.0        # the r5 quality bar
+        # the periodic checkpoint must exist and be resumable
+        assert any(tmp_path.iterdir())
+
     def test_renderer_deterministic(self, sfm_run):
         """Renderer-only determinism: same seed -> identical frames/gt.
         (run_sfm determinism itself is bounded by the golden assert above,
