@@ -30,7 +30,8 @@ class HogConfig:
     nbins: int = 9              # COMPV_HOG_SET_INT_NBINS
     norm: str = "l2hys"         # none | l1 | l1sqrt | l2 | l2hys
     signed_gradient: bool = False  # unsigned [0,180) like the reference default
-    interp: str = "bilinear"    # nearest | bilinear
+    interp: str = "bilinear"    # nearest | bilinear | bilinear_lut
+    lut_bins: int = 1024        # direction quantization of bilinear_lut
     l2hys_clip: float = 0.2
 
 
@@ -71,12 +72,24 @@ def hog_descriptor(img: jax.Array, config: HogConfig = HogConfig()
         span = jnp.pi
 
     pos = ang / span * nb                          # [0, nb)
+    if config.interp == "bilinear_lut":
+        # the reference's third mode: hog_std builds a quantized bilinear
+        # LUT over the direction (compv_core_feature_hog_std.cxx) so the
+        # CPU pays one table read instead of a divide per pixel. On TPU a
+        # table read IS the expensive op (gather), so the same semantics
+        # are reproduced arithmetically: quantize the direction to
+        # lut_bins steps and vote bilinearly from the step's
+        # representative angle — bit-identical to indexing a table built
+        # from the same formula.
+        q = jnp.clip(jnp.floor(pos / nb * config.lut_bins), 0,
+                     config.lut_bins - 1)
+        pos = (q + 0.5) * (nb / config.lut_bins)
     if config.interp == "nearest":
         b0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nb - 1)
         w0 = jnp.ones_like(pos)
         b1 = b0
         w1 = jnp.zeros_like(pos)
-    else:
+    else:                       # bilinear / bilinear_lut
         # bilinear vote into the two nearest bin centers (centers at k+0.5)
         pc = pos - 0.5
         b0f = jnp.floor(pc)

@@ -385,3 +385,37 @@ class TestMserFidelity:
                       np.asarray(ys)[np.asarray(pv)].tolist()))
         my, mx = np.nonzero(m)
         assert pts == set(zip(mx.tolist(), my.tolist()))
+
+
+class TestHogLut:
+    def test_bilinear_lut_matches_bilinear(self):
+        """The quantized-LUT mode (reference hog_std's third interp) must
+        converge to exact bilinear as the LUT densifies and already agree
+        closely at the default 1024 steps."""
+        rs = np.random.default_rng(11)
+        img = rs.integers(0, 255, (64, 64), dtype=np.uint8)
+        d_bi = np.asarray(hog_descriptor(jnp.asarray(img),
+                                         HogConfig(norm="none")))
+        d_lut = np.asarray(hog_descriptor(
+            jnp.asarray(img), HogConfig(norm="none", interp="bilinear_lut")))
+        rel = np.abs(d_lut - d_bi).max() / (np.abs(d_bi).max() + 1e-9)
+        assert rel < 0.01, rel
+        d_lut_fine = np.asarray(hog_descriptor(
+            jnp.asarray(img), HogConfig(norm="none", interp="bilinear_lut",
+                                        lut_bins=1 << 16)))
+        rel_fine = np.abs(d_lut_fine - d_bi).max() / (np.abs(d_bi).max() + 1e-9)
+        assert rel_fine < rel
+
+    def test_lut_is_quantized(self):
+        """Two angles inside one LUT step must vote identically."""
+        cfg = HogConfig(norm="none", interp="bilinear_lut", lut_bins=16)
+        base = np.zeros((16, 16), np.uint8)
+        # gradients along two very close directions
+        yy, xx = np.mgrid[0:16, 0:16].astype(np.float32)
+        img1 = np.clip(xx * 10 + yy * 1.00, 0, 255).astype(np.uint8)
+        img2 = np.clip(xx * 10 + yy * 1.02, 0, 255).astype(np.uint8)
+        d1 = np.asarray(hog_descriptor(jnp.asarray(img1), cfg))
+        d2 = np.asarray(hog_descriptor(jnp.asarray(img2), cfg))
+        # same LUT cell -> same bin weights; magnitudes differ slightly
+        nz1, nz2 = d1.ravel() != 0, d2.ravel() != 0
+        assert (nz1 == nz2).all()

@@ -90,3 +90,20 @@ class TestMjpegServer:
             assert _time.perf_counter() - t0 < 5.0
         assert stats["frames"] == 4
         assert cam.finished.is_set()
+
+    def test_v4l2_graceful_without_hardware(self):
+        """The V4L2 backend must degrade cleanly on camera-less hosts:
+        list_devices() omits unopenable nodes; start() raises CameraError
+        (not a bare OSError) with actionable text."""
+        from compv_tpu.io.camera import CameraError, V4l2Camera, list_devices
+        devs = list_devices()
+        assert "synthetic:checkerboard" in devs
+        assert all(not d.startswith("v4l2:") or d[5:].startswith("/dev/")
+                   for d in devs)
+        import os
+        if not any(d.startswith("v4l2:") for d in devs):
+            cam = V4l2Camera("/dev/video0")
+            import pytest as _pytest
+            with _pytest.raises(CameraError):
+                cam.start()
+            assert cam._fd is None and not cam._maps
