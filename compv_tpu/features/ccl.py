@@ -228,9 +228,10 @@ def label_components_seeded(binary: jax.Array, init: jax.Array,
         # exists (0.995^512 ~ 8%) — the r4 (8, 64, 512) ladder left the
         # flood level unconverged at cap 96 and paid the XLA
         # pointer-jumping fallback (~40 ms/frame); (8, 32, 128) at cap
-        # 256 converges it in-kernel (114 iters, 4.3 ms measured).
+        # 256 converges it in-kernel (152 iters at jump_every=3, ~4.8 ms
+        # — the rarer jumps repay themselves across the 48 quiet levels).
         raw, iters = pallas_label_seeded(binary, init, connectivity,
-                                         _PALLAS_CAP_SEEDED, jump_every=2,
+                                         _PALLAS_CAP_SEEDED, jump_every=3,
                                          jump_dists=(8, 32, 128))
         converged = iters < _PALLAS_CAP_SEEDED
 
