@@ -113,6 +113,19 @@ def yuv_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.stack([_clamp_u8(r), _clamp_u8(g), _clamp_u8(b)], axis=-1)
 
 
+def _upsample_cols(p: jax.Array, w: int) -> jax.Array:
+    """Nearest 2x column upsample (H, W2) -> (H, w) — one-hot MXU matmul
+    on TPU (lane-axis jnp.repeat is a shuffle-heavy relayout; see
+    _upsample2), plain repeat elsewhere."""
+    w2 = p.shape[1]
+    if jax.default_backend() == "tpu" and w2 >= 64:
+        s = (jnp.arange(w2, dtype=jnp.int32)[:, None]
+             == (jnp.arange(w, dtype=jnp.int32) // 2)[None, :])
+        return jnp.matmul(p.astype(jnp.bfloat16), s.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32).astype(p.dtype)
+    return jnp.repeat(p, 2, axis=1)[:, :w]
+
+
 def _upsample2(p: jax.Array, h: int, w: int) -> jax.Array:
     """Nearest 2x chroma upsample to (h, w).
 
@@ -161,8 +174,8 @@ def nv21_to_rgb(y: jax.Array, vu: jax.Array) -> jax.Array:
 def i422_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """I422: U/V are (H, W/2)."""
     h, w = y.shape
-    up = jnp.repeat(u, 2, axis=1)[:, :w]
-    vp = jnp.repeat(v, 2, axis=1)[:, :w]
+    up = _upsample_cols(u, w)
+    vp = _upsample_cols(v, w)
     return yuv_to_rgb(y, up, vp)
 
 
