@@ -446,35 +446,55 @@ def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
     lb_bits = max(1, (h * w - 1).bit_length())
     x_bits = max(1, w.bit_length())
 
+    # the Pallas ragged compactor shrinks the record sort from H*K padded
+    # slots (3.4x slack at ~38 runs/row) to an 8-aligned concatenation —
+    # 43 us for the whole compaction at 1182x128 on v5e. TPU + packed-key
+    # sizes only; overflow of its capacity falls back like row overflow.
+    _CAP8 = 8192                       # 65536 records; (cap8, 8) i32 VMEM
+    use_compact = (jax.default_backend() == "tpu"
+                   and lb_bits + x_bits <= 32 and kk % 8 == 0)
+
+    def _stats_sorted_u32(ku, vs, lb_):
+        big = jnp.int32(1 << 30)
+        sentinel = ku == jnp.uint32(0xFFFFFFFF)
+        ks = jnp.where(sentinel, big, (ku >> x_bits).astype(jnp.int32))
+        x0s = jnp.where(sentinel, w,
+                        (ku & jnp.uint32((1 << x_bits) - 1))
+                        .astype(jnp.int32))
+        x1s, ys = vs % (w + 1), vs // (w + 1)
+        num, area, minx, miny, maxx, maxy, cx, cy, valid = \
+            _seg_stats_from_runs(ks, x0s, x1s, ys, w, h, c)
+        return CclResult(lb_, num, area, minx, miny, maxx, maxy, cx, cy,
+                         valid)
+
+    def _packed_key_val():
+        yy = jnp.broadcast_to(
+            jnp.arange(h, dtype=jnp.int32)[:, None], run_lbl.shape)
+        keyu = jnp.where(
+            run_lbl >= 0,
+            (run_lbl.astype(jnp.uint32) << x_bits)
+            | run_x0.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF))
+        # y*(w+1)+x1 < h*(w+1)+w < 2^31 always (labels need h*w < 2^30)
+        val = yy * (w + 1) + run_x1
+        return keyu, val
+
     def run_path(lb_):
         big = jnp.int32(1 << 30)
-        yy = jnp.broadcast_to(
-            jnp.arange(h, dtype=jnp.int32)[:, None], run_lbl.shape).ravel()
-        # y*(w+1)+x1 < h*(w+1)+w < 2^31 always (labels need h*w < 2^30)
         if lb_bits + x_bits <= 32:
             # 2-array sort: u32 key (label << xb | x0) groups by label AND
-            # orders runs by x0 within a segment (min-x = first slot,
-            # no scan); value packs (y, x1)
-            keyu = jnp.where(
-                run_lbl >= 0,
-                (run_lbl.astype(jnp.uint32) << x_bits)
-                | run_x0.astype(jnp.uint32),
-                jnp.uint32(0xFFFFFFFF)).ravel()
-            val = (yy * (w + 1) + run_x1.ravel())
-            ku, vs = jax.lax.sort([keyu, val], num_keys=1, is_stable=False)
-            sentinel = ku == jnp.uint32(0xFFFFFFFF)
-            ks = jnp.where(sentinel, big,
-                           (ku >> x_bits).astype(jnp.int32))
-            x0s = jnp.where(sentinel, w,
-                            (ku & jnp.uint32((1 << x_bits) - 1))
-                            .astype(jnp.int32))
-            x1s, ys = vs % (w + 1), vs // (w + 1)
-        else:
-            key = jnp.where(run_lbl >= 0, run_lbl, big).ravel()
-            x01 = (run_x0 * (w + 1) + run_x1).ravel()
-            ks, x01s, ys = jax.lax.sort([key, x01, yy], num_keys=1,
-                                        is_stable=False)
-            x0s, x1s = x01s // (w + 1), x01s % (w + 1)
+            # orders runs by x0 within a segment; value packs (y, x1)
+            keyu, val = _packed_key_val()
+            ku, vs = jax.lax.sort([keyu.ravel(), val.ravel()], num_keys=1,
+                                  is_stable=False)
+            return _stats_sorted_u32(ku, vs, lb_)
+        yy = jnp.broadcast_to(
+            jnp.arange(h, dtype=jnp.int32)[:, None], run_lbl.shape).ravel()
+        key = jnp.where(run_lbl >= 0, run_lbl, big).ravel()
+        x01 = (run_x0 * (w + 1) + run_x1).ravel()
+        ks, x01s, ys = jax.lax.sort([key, x01, yy], num_keys=1,
+                                    is_stable=False)
+        x0s, x1s = x01s // (w + 1), x01s % (w + 1)
         num, area, minx, miny, maxx, maxy, cx, cy, valid = \
             _seg_stats_from_runs(ks, x0s, x1s, ys, w, h, c)
         return CclResult(lb_, num, area, minx, miny, maxx, maxy, cx, cy,
@@ -482,6 +502,23 @@ def ccl_features_from_labels(lbl: jax.Array, config: CclConfig = CclConfig()
 
     def pixel_path(lb_):
         return _ccl_features_pixels(lb_, config)
+
+    if use_compact:
+        from compv_tpu.ops.pallas.compact_kernel import compact_rows
+        keyu, val = _packed_key_val()
+        ka, vb, total, okc = compact_rows(
+            jax.lax.bitcast_convert_type(keyu, jnp.int32), val, counts,
+            cap8=_CAP8)
+        kuc = jax.lax.bitcast_convert_type(ka, jnp.uint32)
+        # slots >= the ragged total are uninitialized VMEM: sentinel them
+        kuc = jnp.where(jnp.arange(_CAP8 * 8) < total, kuc,
+                        jnp.uint32(0xFFFFFFFF))
+
+        def compact_path(lb_):
+            ku, vs = jax.lax.sort([kuc, vb], num_keys=1, is_stable=False)
+            return _stats_sorted_u32(ku, vs, lb_)
+
+        return jax.lax.cond(overflow | ~okc, pixel_path, compact_path, lbl)
 
     return jax.lax.cond(overflow, pixel_path, run_path, lbl)
 

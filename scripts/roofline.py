@@ -416,12 +416,19 @@ def main():
         "  pixel sort 1.9 ms + assoc-scan pair 3.5 ms (the r4 design);",
         "  gather grouping ~7 ns/elt = 9+ ms; scatter-add histogram ~=",
         "  gathers; per-strip Pallas enumeration ~450 ns/label = 20+ ms;",
-        "  stable sorts +50% over unstable (the r5 win that closed the",
-        "  last gap). Known next rung (unbuilt): a Pallas row-compaction",
-        "  kernel writing each row's records at its cumsum offset with",
-        "  one sequential-grid 128-wide store, shrinking the R-sort to",
-        "  ~54k records — projected ~0.4 ms. Extraction stays verified",
-        "  exactly against the scipy oracle, and rows with >128 runs",
+        "  stable sorts +50% over unstable. The compaction rung IS built",
+        "  (r5, ops/pallas/compact_kernel.py): a Pallas ragged row",
+        "  compactor copies each row's 8-aligned record prefix to its",
+        "  cumsum offset ((1,8) sublane stores; dynamic LANE offsets are",
+        "  not addressable, so records are pre-reshaped (H, K/8, 8)) in",
+        "  43 us, shrinking the record sort 151k -> 65k: 0.52 ms/frame,",
+        "  1929 fps, 0.184x (12x the r4 row). Remaining budget: ~90 us",
+        "  extraction sorts + ~100 us compact/build + ~180 us 65k record",
+        "  sort + ~150 us segmented stats/top-C — all sort/scan passes",
+        "  within ~2x of their individual floors; the reference's ~96 us",
+        "  serial RLE walk stays out of reach without a serial pass.",
+        "  Extraction stays verified exactly against the scipy oracle,",
+        "  and rows with >128 runs (or compactor-capacity overflow)",
         "  divert to the (r4, capacity-free) pixel path under lax.cond.",
         "",
     ]
