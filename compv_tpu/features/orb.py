@@ -204,6 +204,19 @@ def brief_describe(blurred: jax.Array, x: jax.Array, y: jax.Array,
     rax, ray = rot(ax, ay)
     rbx, rby = rot(bx, by)
 
+    if jax.default_backend() != "tpu":
+        # CPU/GPU: per-sample gathers are cheap and the one-hot einsums'
+        # ~100x FLOP inflation is not (the r5 golden generator measured
+        # ~2.5x slower CPU ORB on the MXU path). Bit-identical results.
+        gx_a = jnp.clip(xi[:, None] + rax, 0, w - 1)
+        gy_a = jnp.clip(yi[:, None] + ray, 0, h - 1)
+        gx_b = jnp.clip(xi[:, None] + rbx, 0, w - 1)
+        gy_b = jnp.clip(yi[:, None] + rby, 0, h - 1)
+        a = f[gy_a, gx_a]
+        b = f[gy_b, gx_b]
+        bits = (a < b).astype(jnp.uint8)
+        return jnp.where(valid[:, None], bits, jnp.uint8(0))
+
     # r5 MXU formulation: one 31x31 patch per keypoint (vmapped
     # dynamic_slice — contiguous rows lower ~7x cheaper than the (K,256)
     # element gathers this replaces, which measured ~10 ms at 2.3k
