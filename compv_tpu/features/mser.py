@@ -33,9 +33,9 @@ The flood-fill component tree is intrinsically sequential (SURVEY.md §7
       min-diversity: among NESTED stable regions with relative area
       difference < min_diversity only the most stable survives
       [lmser_result.h:91-113]
-    Cross-level lookups go through per-level DENSE (root -> area/variation)
-    tables built by small scatters (<= max_candidates entries per level) and
-    resolved by batched gathers.
+    Cross-level lookups go through per-level SORTED (root -> area/variation)
+    tables (<= max_candidates entries per level) resolved by batched
+    sort-merge joins (_lookup_sorted) — no scatters anywhere.
 
 Bounded deviations from the exact tree (both flagged in `overflowed` where
 they can silently bite): the ladder samples `level_step` gray levels, and

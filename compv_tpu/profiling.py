@@ -96,7 +96,7 @@ class Log:
             for fn in sinks:
                 fn(line)
         else:
-            print(line)
+            print(line, flush=True)   # logs must survive piped/buffered IO
 
     def verbose(self, msg):
         self._emit("verbose", msg)

@@ -533,6 +533,10 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
 
         # local BA (drift control): everything registered so far, or the
         # sliding window when config.local_window is set
+        if i % 16 == 0:
+            from compv_tpu.profiling import log as _log
+            _log.info(f"sfm: registered frame {i}/{n_frames} "
+                      f"(landmarks={n_lms}, obs~{int(ob_ok.sum())})")
         rebuild_obs()
         lo = None if config.local_window is None else \
             max(i - config.local_window, 0)
