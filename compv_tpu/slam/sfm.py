@@ -432,12 +432,19 @@ def run_sfm(frames: np.ndarray, k: np.ndarray,
     def run_ba(cfg: BAConfig, frame_lo: int | None = None):
         """Solve BA over the current buffers; write back cams/landmarks.
         ``frame_lo`` activates the sliding window: cameras < frame_lo
-        freeze (anchoring the window's gauge) and only observations of
-        frames >= frame_lo enter the solve."""
+        freeze, and observations from one EXTRA window of frozen frames
+        stay in the solve as anchors — frozen-camera constraints are what
+        glue the window to the global map (dropping them let landmarks
+        drift with the window: a 128-frame probe scored ATE 27% of span
+        with obs-masked windows; reproj stayed 0.7 px — the signature of
+        a consistently corroding map)."""
         nonlocal cams
-        ok = ob_ok if frame_lo is None else (ob_ok & (ob_ci >= frame_lo))
         cmask = None
+        ok = ob_ok
         if frame_lo is not None:
+            win = config.local_window or n_frames
+            anchor_lo = max(frame_lo - win, 0)
+            ok = ob_ok & (ob_ci >= anchor_lo)
             cmask = jnp.asarray(np.arange(n_frames) >= frame_lo)
         prob = BAProblem(
             cameras=jnp.asarray(cams), landmarks=jnp.asarray(landmarks),
