@@ -15,9 +15,11 @@ Reference behavior:
     centered at the rounded keypoint (CompVOrbBrief256_31_32f_C,
     orb_desc.cxx:477-518); bit i = (I[A_i] < I[B_i]).
 
-TPU design: per-level dense FAST (features/fast.py) + top-k; orientation and
-descriptor are batched gathers vmapped over the fixed-capacity keypoint set
-(invalid slots clamp to pixel 0 and are masked). The BRIEF pattern is
+TPU design: per-level dense FAST (features/fast.py) + top-k; orientation
+comes from dense incremental-shift moment maps (2 gathers/keypoint), and
+the descriptor samples 31x31 patch slices through row/col one-hot MXU
+bilinear forms on TPU (bit-identical per-sample gathers on CPU, where
+gathers are cheap and the one-hot FLOP inflation is not). The BRIEF pattern is
 generated deterministically (Gaussian sigma = patch/5 clipped to the radius-14
 disc, the original BRIEF "GII" scheme) — NOT copied from the reference's
 hardcoded table; rotation preserves the norm so all rotated samples stay
@@ -35,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from compv_tpu.core.types import Keypoints
-from compv_tpu.features.fast import FastConfig, _nms_f32, _strengths_f32
+from compv_tpu.features.fast import _nms_f32, _strengths_f32
 from compv_tpu.image.pyramid import pyramid_sizes, scale_factors, scale_factors_sum
 from compv_tpu.image.scale import scale as scale_image
 from compv_tpu.ops.conv import gaussian_blur

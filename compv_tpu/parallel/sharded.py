@@ -20,11 +20,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from compv_tpu.matchers.bruteforce import hamming_distance_matrix
-from compv_tpu.ops.conv import gaussian_blur
 from compv_tpu.slam.ba import (BAConfig, BAProblem, ba_step,
                                ba_step_reduce_scatter)
 

@@ -161,6 +161,9 @@ class TestSfmEndToEnd:
         from make_goldens import sfm_128_config
         path_128 = os.path.join(os.path.dirname(GOLDEN_PATH),
                                 "sfm_128.json")
+        if not os.path.exists(path_128):
+            pytest.skip("sfm_128 golden not generated (see "
+                        "scripts/make_goldens.py --sfm-128)")
         with open(path_128) as f:
             g = json.load(f)
         seq = g["sequence"]
