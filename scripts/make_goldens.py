@@ -168,9 +168,11 @@ def build_sfm_long() -> dict:
 
 def sfm_128_config():
     """The 128-frame production-shaped run (r5 VERDICT task 4): Schur
-    solver, sliding-window local BA (8 frames), periodic checkpoints —
-    exercises ba_step_schur, camera freezing, landmark capacity and
-    checkpoint cadence at sequence scale."""
+    solver, sliding-window local BA (8 frames, frozen-camera anchor
+    observations), periodic checkpoints — exercises ba_step_schur,
+    camera freezing, landmark capacity and checkpoint cadence at
+    sequence scale. Locked at ATE 1.8% of span / RPE 0.0087 (the
+    unanchored-window bug this golden caught scored 27%)."""
     from compv_tpu.slam.sfm import SfmConfig
     return SfmConfig(solver="schur", local_window=8, checkpoint_every=16,
                      max_obs=131072, max_landmarks=16384)
